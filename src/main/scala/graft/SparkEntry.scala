@@ -21,13 +21,46 @@ object SparkEntry {
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
-  /** Flagship: exact-dup election over documents (J1+J2 of SURVEY §2.4) —
-    * upgraded to the full near-dup pipeline on synthesized pages in queries.
+  /** Number of synthetic pages for a given testdata dir (SF-scaled). */
+  def pagesN(dir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
+    math.max(200L, (sf * 200000).toLong) // sf0.1 → 20k docs
+  }
+
+  private def pagesCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.pages.PagesGen.pages(s, pagesN(dir), seed = 42L,
+      partitions = s.sparkContext.defaultParallelism * 2)
+
+  /** Flagship: the full near-dup detection + clustering pipeline (north_rule)
+    * on the synthesized Common-Crawl-style corpus.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("dedup_exact_clusters")(spark, "/root/testdata/sf0.001")
+    queries("pages_neardup_clusters")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------- north_rule flagship: synthesized webtext corpus ---------
+    // (generated tables — no DuckDB oracle; correctness gated by the
+    // ScalaTest serial-oracle recall suite instead)
+
+    // full pipeline: exact + MinHash/LSH + SimHash → CC cluster assignments
+    "pages_neardup_clusters" -> ((s, dir) =>
+      graft.dedup.NearDupPipeline.run(s, pagesCorpus(s, dir),
+        graft.dedup.DedupConfig()).assignments),
+
+    // verified near-dup pairs (a, b, exact jaccard)
+    "pages_neardup_pairs" -> ((s, dir) =>
+      graft.dedup.NearDupPipeline.run(s, pagesCorpus(s, dir),
+        graft.dedup.DedupConfig()).pairs),
+
+    // exact-dup assignments over the pages corpus
+    "pages_exact_dedup" -> ((s, dir) =>
+      graft.dedup.ExactDedup.assignments(pagesCorpus(s, dir))),
+
+    // SimHash Hamming-ball candidate pairs
+    "pages_simhash_pairs" -> ((s, dir) =>
+      graft.dedup.SimHashDedup.hammingPairs(pagesCorpus(s, dir),
+        graft.dedup.DedupConfig())),
+
     // J1/J2: first-occurrence election by content digest (groupBy + min) —
     // reference's insert-or-probe dedup core (list_approach.cpp:50-58).
     "dedup_exact_clusters" -> ((s, dir) =>

@@ -1,0 +1,24 @@
+package graft.dedup
+
+/** Pinned shingle/signature configuration (SURVEY.md §7.1 item 5): the serial
+  * oracle and the distributed pipeline MUST share one instance, or recall
+  * comparison is meaningless.
+  *
+  * Default b×r: 32 bands × 4 rows = 128 perms (north_star). At the default
+  * τ=0.7 the LSH miss probability for a true pair is
+  * (1 - 0.7⁴)³² ≈ 1.5e-4 ≪ the 0.01 recall budget.
+  */
+case class DedupConfig(
+    shingleK: Int = 5,
+    numPerm: Int = 128,
+    bands: Int = 32,
+    tau: Double = 0.7,
+    seed: Long = 42L,
+    /** candidate buckets larger than this emit star edges (rep↔member)
+      * instead of all O(n²) pairs — skew guard for boilerplate bands. */
+    maxBucket: Int = 64,
+    /** SimHash Hamming-ball radius (block-probe pass). */
+    simhashMaxHamming: Int = 3) {
+  require(numPerm % bands == 0, "bands must divide numPerm")
+  def rows: Int = numPerm / bands
+}

@@ -1,0 +1,48 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/** Exact-duplicate collapse — the reference's first-occurrence election
+  * restricted to whole-document chunks (insert-or-probe + atomic_min,
+  * /root/reference/src/list_approach.cpp:50-58, tree_approach.cpp:340):
+  * `groupBy(content key).agg(min(doc_id))`, a partial+final hash aggregate
+  * (no hash table, no atomics — Catalyst's two-phase agg IS the ScatterView
+  * pattern).
+  *
+  * Running this BEFORE LSH is also the first skew guard: groups of identical
+  * documents (the hottest LSH buckets at web scale) collapse to one
+  * representative each.
+  */
+object ExactDedup {
+
+  /** (doc_id, key) where key is the 64-bit content hash of normalized text.
+    * 64-bit keys group faster than 16-byte binary; the full 128-bit digest is
+    * available via gf.murmur128 where collision-paranoia matters.
+    */
+  def keyed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      gf.hash64(gf.normalizeText(col(textCol))).as("ckey"))
+
+  /** One row per document: (doc_id, ckey, rep) with rep = min doc_id of its
+    * identical-content group.
+    */
+  def assignments(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val k = keyed(docs, idCol, textCol)
+    val reps = k.groupBy("ckey").agg(min("doc_id").as("rep"))
+    k.join(reps, "ckey").select("doc_id", "ckey", "rep")
+  }
+
+  /** Exact-dup edges (rep, member) for the clustering union. */
+  def edges(assign: DataFrame): DataFrame =
+    assign.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+
+  /** Distinct-content representatives to feed the near-dup stages. */
+  def representatives(docs: DataFrame, assign: DataFrame,
+                      idCol: String = "doc_id"): DataFrame =
+    docs.join(assign.filter(col("doc_id") === col("rep")).select("doc_id"),
+      Seq(idCol))
+}

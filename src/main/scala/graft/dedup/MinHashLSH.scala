@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/** MinHash + LSH banding near-duplicate detection (north_star core).
+  *
+  * Reference analogue: the digest insert-or-probe J1 (SURVEY.md §2.4) with the
+  * 128-bit exact digest replaced by banded MinHash keys, so "same content
+  * elsewhere" generalizes to "Jaccard ≥ τ elsewhere".
+  *
+  * Scale shape (10¹²-doc design):
+  *   - one narrow features table (doc_id, sh, sig) — computed in one codegen'd
+  *     projection pass, no shuffle;
+  *   - band explosion shuffles (band, bandHash, doc_id) triples only (24 B a
+  *     row, not documents);
+  *   - bucket groups emit pairs bounded by `maxBucket` (star edges beyond) —
+  *     boilerplate-hot buckets cost O(bucket), never O(bucket²);
+  *   - candidate pairs deduped, then verified with a cheap signature-agreement
+  *     estimate before the exact shingle-set Jaccard is evaluated (the exact
+  *     compare runs only on rows surviving the estimate — Catalyst `If` is
+  *     lazy per row).
+  */
+object MinHashLSH {
+
+  /** (doc_id, sh, sig): distinct sorted shingle hashes + MinHash signature.
+    * Empty docs (no shingles) are excluded — they are exact dups of each
+    * other and are handled by ExactDedup.
+    */
+  def features(docs: DataFrame, cfg: DedupConfig,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+        col(idCol).as("doc_id"),
+        gf.shingles(gf.normalizeText(col(textCol)), cfg.shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", gf.minhash(col("sh"), cfg.numPerm, cfg.seed))
+
+  /** Candidate pairs (a < b) from LSH band buckets. */
+  def candidatePairs(features: DataFrame, cfg: DedupConfig): DataFrame = {
+    val exploded = features
+      .select(col("doc_id"), posexplode(gf.bands(col("sig"), cfg.bands)).as(Seq("band", "bh")))
+    // Hash-shuffle on the band key — the explicit repartition the reference
+    // never needs (rank-local dedup, dedup_files_mpi.cpp:53-65); we must go
+    // global for recall. AQE re-coalesces the tail.
+    val buckets = exploded
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairsExpr =
+      s"""CASE WHEN size(ids) <= ${cfg.maxBucket} THEN
+         |  flatten(transform(ids, (x, i) ->
+         |    transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))
+         |ELSE
+         |  transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS a, y AS b))
+         |END""".stripMargin
+    buckets
+      .select(explode(expr(pairsExpr)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs: (a, b, jac) with exact Jaccard >= cfg.tau.
+    * `estMargin` guards the estimate pre-filter (3.7σ at 128 perms).
+    */
+  def verifiedPairs(features: DataFrame, candidates: DataFrame, cfg: DedupConfig,
+                    estMargin: Double = 0.15): DataFrame = {
+    val fa = features.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val fb = features.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    val est = expr(
+      s"""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0,
+         |          (acc, v) -> acc + v) / ${cfg.numPerm}.0D""".stripMargin)
+    candidates
+      .join(fa, "a")
+      .join(fb, "b")
+      .withColumn("est", est)
+      .withColumn("jac",
+        when(col("est") >= cfg.tau - estMargin, gf.jaccard(col("sh_a"), col("sh_b")))
+          .otherwise(lit(0.0)))
+      .filter(col("jac") >= cfg.tau)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** Full LSH pass: docs → verified near-dup pairs. */
+  def nearDupPairs(docs: DataFrame, cfg: DedupConfig,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val feats = features(docs, cfg, idCol, textCol)
+    verifiedPairs(feats, candidatePairs(feats, cfg), cfg)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end near-duplicate detection + clustering (the north_rule flagship):
+  *
+  *   1. exact-dup collapse (content-hash groupBy, min-id election)   — J1/J2
+  *   2. MinHash/LSH banding candidates over distinct-content reps    — north_star
+  *   3. SimHash Hamming-ball candidates (recall supplement)          — north_star
+  *   4. shared exact-Jaccard verification of the candidate union     — F-ops
+  *   5. connected components → cluster = min(doc_id)                 — restart loop
+  *
+  * Every candidate source feeds the SAME verifier, so additional probes can
+  * only add recall, never precision loss vs the exact-Jaccard oracle.
+  */
+object NearDupPipeline {
+
+  case class Result(
+      assignments: DataFrame, // (id, cluster)
+      pairs: DataFrame,       // verified near-dup pairs (a, b, jac)
+      exactEdges: DataFrame,  // exact-dup edges (a, b)
+      metrics: DataFrame)     // one-row stage metrics
+
+  def run(spark: SparkSession, docs: DataFrame, cfg: DedupConfig = DedupConfig(),
+          idCol: String = "doc_id", textCol: String = "text",
+          useSimhash: Boolean = true): Result = {
+
+    // 1. exact collapse — skew guard + work reduction for every later stage
+    val exact = ExactDedup.assignments(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactEdges = ExactDedup.edges(exact)
+    val reps = docs.join(
+      exact.filter(col("doc_id") === col("rep")).select(col("doc_id").as(idCol)),
+      Seq(idCol))
+
+    // 2+3. candidate generation on distinct-content representatives only
+    val feats = MinHashLSH.features(reps, cfg, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lshCand = MinHashLSH.candidatePairs(feats, cfg)
+    val cand =
+      if (useSimhash) lshCand.union(SimHashDedup.hammingPairs(reps, cfg, idCol, textCol)).distinct()
+      else lshCand
+
+    // 4. one verifier for all candidate sources
+    val pairs = MinHashLSH.verifiedPairs(feats, cand, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 5. clustering over exact ∪ near edges; every input doc is a node
+    val edges = exactEdges.select("a", "b").union(pairs.select("a", "b"))
+    val nodes = docs.select(col(idCol).as("id"))
+    val assignments = ConnectedComponents.assignAll(spark, nodes, edges)
+
+    val nDocs = docs.count()
+    val nReps = reps.count()
+    val nPairs = pairs.count()
+    val metrics = {
+      import spark.implicits._
+      Seq((nDocs, nReps, nDocs - nReps, nPairs))
+        .toDF("n_docs", "n_distinct_text", "n_exact_dups", "n_near_pairs")
+    }
+    Result(assignments, pairs, exactEdges, metrics)
+  }
+}
