@@ -61,6 +61,19 @@ object SparkEntry {
       graft.dedup.SimHashDedup.hammingPairs(pagesCorpus(s, dir),
         graft.dedup.DedupConfig())),
 
+    // Reference-fidelity chunk dedup (tree approach): two checkpoints derived
+    // from the documents table, FO/FIXED/SHIFT region labels (rows-only; the
+    // 10 golden vectors are asserted in ChunkDedupSpec).
+    "chunk_dedup_labels" -> ((s, dir) => {
+      val texts = docs(s, dir).orderBy("doc_id").limit(2)
+        .select("text").collect().map(_.getString(0))
+      val step0 = texts(0).take(256)
+      val step1 = (texts(0).take(128) + texts(1)).take(256)
+      val chain = new graft.dedup.ChunkDedup.Chain(s, step0.length.toLong)
+      chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step0, 1))
+      chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step1, 1)).labels
+    }),
+
     // J1/J2: first-occurrence election by content digest (groupBy + min) —
     // reference's insert-or-probe dedup core (list_approach.cpp:50-58).
     "dedup_exact_clusters" -> ((s, dir) =>

@@ -1,0 +1,358 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/** Reference-semantics incremental chunk deduplication — the Spark rebuild of
+  * the reference's flagship Tree approach (/root/reference/src/tree_approach.cpp):
+  *
+  *   - chunks hashed with murmur3_x64_128 seed 0 (kokkos_murmur3.hpp:436);
+  *   - per-checkpoint labels: FIXED_DUPL (same digest, same position vs the
+  *     previous checkpoint, :326-327), FIRST_OCUR (new digest, lowest-position
+  *     winner, atomic_min :337-343 ⇒ `min` aggregate here), SHIFT_DUPL (digest
+  *     seen elsewhere, :344-348);
+  *   - maximal-region coalescing over the implicit complete binary tree
+  *     (2n-1 nodes, chunk j ↦ node n-1+j): first-occurrence forest bottom-up
+  *     (:372-404), then duplicate forest (:413-477) — a parent coalesces two
+  *     SHIFT children only when its combined digest already exists in the
+  *     distinct map;
+  *   - the distinct map (digest → first NodeID(chkpt, node)) is an Iceberg-
+  *     style accumulating state table, NOT a hash table: insert-if-absent is
+  *     a left-anti join + union (SURVEY.md §2.4 J1).
+  *
+  * Restart (tree_approach.cpp:713-1128) is the inverse: reconstruct any
+  * checkpoint from stored first-occurrence bytes + shift metadata via joins
+  * against prior reconstructions (§2.8: per-step left-anti fall-through).
+  *
+  * Scale note: the level sweep is O(log n) shuffles of geometrically
+  * shrinking node sets; the distinct map is partitioned by digest and grows
+  * with distinct content only. At web scale the per-leaf tables dominate and
+  * partition freely; nothing is collected to the driver.
+  */
+object ChunkDedup {
+
+  final val FIRST = "FIRST_OCUR"
+  final val FIXED = "FIXED_DUPL"
+  final val SHIFT = "SHIFT_DUPL"
+  final val DONE = "DONE" // absorbed into a parent region
+
+  case class ChkptResult(
+      chkptId: Int,
+      labels: DataFrame,      // (node, label) — region roots keep FIRST/SHIFT/FIXED
+      numFirstOcur: Long,     // count of first-occurrence region roots
+      numShiftDupl: Long,     // count of shifted-duplicate region roots
+      firstLeaves: DataFrame, // (pos, chunk) bytes stored in the incremental chkpt
+      shiftLeafMap: DataFrame // (pos, src_chkpt, src_pos) duplicate metadata
+  )
+
+  @inline private def level(i: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(i + 1)
+
+  /** Split a text into fixed-size character chunks (ragged tail), one row per
+    * chunk — the reference's P1 chunking (basic_approach.cpp:29-33).
+    */
+  def chunkify(spark: SparkSession, text: String, chunkSize: Int): DataFrame = {
+    import spark.implicits._
+    text.grouped(chunkSize).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("pos", "chunk")
+  }
+
+  object Chain {
+    /** Checkpoints up to this many chunks use the in-memory forest sweep with
+      * batched map probes; larger ones use the per-level DataFrame sweep.
+      */
+    final val LOCAL_SWEEP_MAX: Long = 1L << 16
+
+    /** Build the three uniform-label forests in memory. Returns the internal
+      * nodes of (first, fixed, shift-candidate) forests as (node, digest).
+      * Pure index arithmetic — correct for ragged heaps.
+      */
+    def localForests(leaves: Array[(Long, Array[Byte], String)])
+      : (Vector[(Long, Array[Byte])], Vector[(Long, Array[Byte])], Vector[(Long, Array[Byte])]) = {
+      def forest(label: String): Vector[(Long, Array[Byte])] = {
+        val active = scala.collection.mutable.HashMap.empty[Long, Array[Byte]]
+        leaves.foreach { case (n, d, l) => if (l == label) active(n) = d }
+        val internals = Vector.newBuilder[(Long, Array[Byte])]
+        // max-first order: children always pop before their parent could
+        val queue = scala.collection.mutable.PriorityQueue.empty[Long]
+        active.keys.foreach(queue.enqueue(_))
+        while (queue.nonEmpty) {
+          val n = queue.dequeue()
+          if (n > 0 && active.contains(n)) {
+            val sib = if (n % 2 == 1) n + 1 else n - 1
+            if (active.contains(sib)) {
+              val l = math.min(n, sib); val r = math.max(n, sib)
+              val pd = graft.functions.Impl.murmur128Digest(active(l) ++ active(r))
+              active.remove(l); active.remove(r)
+              val p = (n - 1) / 2
+              active(p) = pd
+              internals += ((p, pd))
+              queue.enqueue(p)
+            }
+          }
+        }
+        internals.result()
+      }
+      (forest(FIRST), forest(FIXED), forest(SHIFT))
+    }
+
+    /** Region-root counts per label. A node is a region root iff it is not
+      * absorbed by a coalescing parent (FIRST/FIXED: parent in the forest;
+      * SHIFT: parent's digest present in the distinct map).
+      */
+    def regionCounts(leaves: Array[(Long, Array[Byte], String)],
+                     firstInt: Vector[(Long, Array[Byte])],
+                     fixedInt: Vector[(Long, Array[Byte])],
+                     shiftCand: Vector[(Long, Array[Byte])],
+                     presentShift: Set[Long]): Map[String, Long] = {
+      @inline def parent(n: Long): Long = (n - 1) / 2
+      val firstSet = firstInt.map(_._1).toSet
+      val fixedSet = fixedInt.map(_._1).toSet
+      def roots(leafLabel: String, internals: Vector[(Long, Array[Byte])],
+                inForest: Long => Boolean): Long = {
+        val leafRoots = leaves.count { case (n, _, l) =>
+          l == leafLabel && (n == 0 || !inForest(parent(n)))
+        }
+        val intRoots = internals.count { case (n, _) =>
+          inForest(n) && (n == 0 || !inForest(parent(n)))
+        }
+        leafRoots.toLong + intRoots
+      }
+      Map(
+        FIRST -> roots(FIRST, firstInt, firstSet.contains),
+        FIXED -> roots(FIXED, fixedInt, fixedSet.contains),
+        SHIFT -> roots(SHIFT, shiftCand, presentShift.contains))
+    }
+  }
+
+  /** Stateful dedup over a chain of checkpoints (all with the same chunk
+    * count, like the reference's fixed data_len). Not thread-safe.
+    */
+  final class Chain(spark: SparkSession, numChunks: Long,
+                    localSweepMax: Long = Chain.LOCAL_SWEEP_MAX) {
+    require(numChunks >= 1)
+    private val nLeaves = numChunks
+    private val leafBase = nLeaves - 1 // chunk j ↦ node leafBase + j
+    private val maxLevel = level(2 * nLeaves - 2)
+
+    /** digest → first occurrence (chkpt, node); accumulates across chkpts. */
+    private var distinctMap: DataFrame = _
+    /** previous checkpoint's leaves (node, digest) for the FIXED probe. */
+    private var prevTree: DataFrame = _
+    private var curId: Int = -1
+    private val results = scala.collection.mutable.ArrayBuffer.empty[ChkptResult]
+    /** accumulated reconstructions used by restart(): (chkpt, pos, chunk). */
+    private var reconAll: DataFrame = _
+
+    def history: Seq[ChkptResult] = results.toSeq
+
+    /** Process the next checkpoint; chunks = (pos: Long, chunk: String). */
+    def checkpoint(chunks: DataFrame): ChkptResult = {
+      curId += 1
+      val cid = curId
+      val leaves = chunks
+        .select((col("pos") + leafBase).as("node"), col("pos"),
+          gf.murmur128(col("chunk")).as("digest"), col("chunk"))
+        .localCheckpoint(true)
+
+      // ---- leaf labeling ---------------------------------------------------
+      val (fixedLeaves, restLeaves) =
+        if (prevTree == null) {
+          (leaves.limit(0), leaves)
+        } else {
+          val prev = prevTree.select(col("node"), col("digest").as("prev_digest"))
+          val j = leaves.join(prev, Seq("node"), "left")
+          (j.filter(col("prev_digest") === col("digest")).drop("prev_digest"),
+            j.filter(col("prev_digest").isNull || col("prev_digest") =!= col("digest"))
+              .drop("prev_digest"))
+        }
+
+      // global probe (J1): digest found → SHIFT with recorded source
+      val probed = restLeaves.join(
+        mapOrEmpty().select(col("digest"), col("src_chkpt"), col("src_node")),
+        Seq("digest"), "left")
+      val shiftedGlobal = probed.filter(col("src_chkpt").isNotNull)
+      // new digests: lowest-node election (J2, atomic_min ⇒ min agg)
+      val fresh = probed.filter(col("src_chkpt").isNull).drop("src_chkpt", "src_node")
+      val winners = fresh.groupBy("digest").agg(min("node").as("win_node"))
+      val freshTagged = fresh.join(winners, "digest")
+      val firstLeavesDf = freshTagged.filter(col("node") === col("win_node"))
+        .select("node", "pos", "digest", "chunk")
+      val shiftedLocal = freshTagged.filter(col("node") =!= col("win_node"))
+        .select(col("node"), col("pos"), col("digest"), col("chunk"),
+          lit(cid).as("src_chkpt"), col("win_node").as("src_node"))
+
+      // insert FIRST leaves into the distinct map (insert-if-absent)
+      insertIntoMap(firstLeavesDf.select(col("digest"), lit(cid).as("src_chkpt"),
+        col("node").as("src_node")))
+
+      // state: (node, digest, label); leaf-level sources kept aside
+      var st = firstLeavesDf.select(col("node"), col("digest"), lit(FIRST).as("label"))
+        .union(fixedLeaves.select(col("node"), col("digest"), lit(FIXED).as("label")))
+        .union(shiftedGlobal.select(col("node"), col("digest"), lit(SHIFT).as("label")))
+        .union(shiftedLocal.select(col("node"), col("digest"), lit(SHIFT).as("label")))
+        .localCheckpoint(true)
+
+      // ---- bottom-up sweeps -------------------------------------------------
+      // Reference order preserved exactly: the FIRST forest is fully built
+      // (all levels, parents inserted into the map, tree_approach.cpp:372-404)
+      // BEFORE the duplicate forest probes it (:413-477). Sweeping per label
+      // also keeps ragged trees correct: equal-height subtrees can sit on
+      // different heap levels when n is not a power of two.
+
+      /** One full bottom-up sweep coalescing same-label sibling pairs.
+        * @param accept parents → subset that actually coalesces
+        * @param onParents side effect before absorption (map insertion)
+        */
+      def sweep(label: String,
+                accept: DataFrame => DataFrame,
+                onParents: DataFrame => Unit): Unit = {
+        var l = maxLevel - 1
+        while (l >= 0) {
+          val children = st.filter(col("label") === label)
+            .withColumn("lvl", floor(log2(col("node") + 1)).cast("int"))
+            .filter(col("lvl") === l + 1)
+            .withColumn("parent", ((col("node") - 1) / 2).cast("long"))
+            .withColumn("is_left", (col("node") % 2) === 1)
+          val paired = children.groupBy("parent").agg(
+            count(lit(1)).as("cnt"),
+            max(when(col("is_left"), col("digest"))).as("dl"),
+            max(when(!col("is_left"), col("digest"))).as("dr"))
+            .filter(col("cnt") === 2)
+            .select(col("parent").as("node"),
+              gf.murmur128(concat(col("dl"), col("dr"))).as("digest"))
+          val parents = accept(paired).select(col("node"), col("digest"))
+            .localCheckpoint(true)
+          onParents(parents)
+          val absorbed = parents.select((col("node") * 2 + 1).as("node"))
+            .union(parents.select((col("node") * 2 + 2).as("node")))
+          st = st.join(absorbed.withColumn("absorbed", lit(true)), Seq("node"), "left")
+            .withColumn("label",
+              when(col("absorbed"), lit(DONE)).otherwise(col("label")))
+            .drop("absorbed")
+            .select(col("node"), col("digest"), col("label"))
+            .union(parents.withColumn("label", lit(label))
+              .select(col("node"), col("digest"), col("label")))
+            .localCheckpoint(true)
+          l -= 1
+        }
+      }
+
+      val counts: Map[String, Long] =
+        if (nLeaves <= localSweepMax) {
+          // ---- fast path: in-memory sweeps, batched map probes -------------
+          // The forests are a per-checkpoint tree computation; only the
+          // distinct-map interactions are global. Collect the labeled leaves
+          // (≤ 2²⁰ × 16 B), build all three forests locally, then do ONE
+          // batched map insert (FIRST internals) and ONE batched probe (SHIFT
+          // internal candidates) — 3 Spark jobs instead of 3·log n shuffles.
+          val leafEntries = st.collect().map(r =>
+            (r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2)))
+          val (firstInt, fixedInt, shiftCand) = Chain.localForests(leafEntries)
+
+          // reference order: full first forest inserted before dup probing
+          if (firstInt.nonEmpty) {
+            import spark.implicits._
+            insertIntoMap(firstInt.toSeq.toDF("node", "digest")
+              .select(col("digest"), lit(cid).as("src_chkpt"), col("node").as("src_node")))
+          }
+          val presentShift: Set[Long] =
+            if (shiftCand.isEmpty) Set.empty
+            else {
+              import spark.implicits._
+              shiftCand.toSeq.toDF("node", "digest")
+                .join(mapOrEmpty().select("digest"), Seq("digest"), "left_semi")
+                .select("node").collect().map(_.getLong(0)).toSet
+            }
+          Chain.regionCounts(leafEntries, firstInt, fixedInt, shiftCand, presentShift)
+        } else {
+          // ---- distributed path: per-level sweeps ---------------------------
+          // log₂(n) shuffles of geometrically shrinking node sets; total
+          // shuffled volume ≤ 2× the leaf table. Used when one checkpoint's
+          // chunk count exceeds driver-collectable size.
+          sweep(FIRST, identity, parents =>
+            insertIntoMap(parents.select(col("digest"), lit(cid).as("src_chkpt"),
+              col("node").as("src_node"))))
+          sweep(FIXED, identity, _ => ())
+          sweep(SHIFT,
+            paired => paired.join(mapOrEmpty().select("digest"), Seq("digest"), "left_semi"),
+            _ => ())
+          st.groupBy("label").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+
+      // ---- outputs ----------------------------------------------------------
+      val shiftLeafMap = shiftedGlobal.select(col("pos"), col("src_chkpt"),
+          (col("src_node") - leafBase).as("src_pos"))
+        .union(shiftedLocal.select(col("pos"), col("src_chkpt"),
+          (col("src_node") - leafBase).as("src_pos")))
+        .localCheckpoint(true)
+      val storedFirst = firstLeavesDf.select(col("pos"), col("chunk")).localCheckpoint(true)
+
+      val res = ChkptResult(
+        chkptId = cid,
+        labels = st.select("node", "label"),
+        numFirstOcur = counts.getOrElse(FIRST, 0L),
+        numShiftDupl = counts.getOrElse(SHIFT, 0L),
+        firstLeaves = storedFirst,
+        shiftLeafMap = shiftLeafMap)
+      results += res
+
+      // reconstruct this checkpoint into reconAll (restart support)
+      val recon = reconstructCurrent(cid, storedFirst, shiftLeafMap)
+      reconAll = (if (reconAll == null) recon else reconAll.union(recon)).localCheckpoint(true)
+
+      // the FIXED probe only ever compares leaves at equal positions
+      // (tree_approach.cpp:326-327); FIXED parents re-derive bottom-up.
+      prevTree = leaves.select(col("node"), col("digest")).localCheckpoint(true)
+      res
+    }
+
+    /** Rebuild checkpoint `cid` from ONLY incremental outputs + prior recons. */
+    private def reconstructCurrent(cid: Int, storedFirst: DataFrame,
+                                   shiftLeafMap: DataFrame): DataFrame = {
+      val first = storedFirst.select(lit(cid).as("chkpt"), col("pos"), col("chunk"))
+      val shifted =
+        if (reconAll == null) shiftLeafMap // chkpt 0: may self-reference
+          .join(storedFirst.select(col("pos").as("src_pos"), col("chunk")), Seq("src_pos"))
+          .select(lit(cid).as("chkpt"), col("pos"), col("chunk"))
+        else {
+          val selfSrc = shiftLeafMap.filter(col("src_chkpt") === cid)
+            .join(storedFirst.select(col("pos").as("src_pos"), col("chunk")), Seq("src_pos"))
+            .select(lit(cid).as("chkpt"), col("pos"), col("chunk"))
+          val priorSrc = shiftLeafMap.filter(col("src_chkpt") =!= cid)
+            .join(reconAll.select(col("chkpt").as("src_chkpt"), col("pos").as("src_pos"),
+              col("chunk")), Seq("src_chkpt", "src_pos"))
+            .select(lit(cid).as("chkpt"), col("pos"), col("chunk"))
+          selfSrc.union(priorSrc)
+        }
+      val explicitPos = first.select("pos").union(shifted.select("pos"))
+      val fixed =
+        if (reconAll == null) first.limit(0)
+        else reconAll.filter(col("chkpt") === cid - 1)
+          .join(explicitPos, Seq("pos"), "left_anti")
+          .select(lit(cid).as("chkpt"), col("pos"), col("chunk"))
+      first.union(shifted).union(fixed)
+    }
+
+    /** Restart: full chunk content of checkpoint `cid` (pos, chunk). */
+    def restart(cid: Int): DataFrame =
+      reconAll.filter(col("chkpt") === cid).select("pos", "chunk")
+
+    private def mapOrEmpty(): DataFrame =
+      if (distinctMap == null) {
+        import spark.implicits._
+        Seq.empty[(Array[Byte], Int, Long)].toDF("digest", "src_chkpt", "src_node")
+      } else distinctMap
+
+    private def insertIntoMap(entries: DataFrame): Unit = {
+      val newOnes = entries.join(mapOrEmpty().select("digest"), Seq("digest"), "left_anti")
+        // within-batch first-wins (lowest node)
+        .groupBy("digest").agg(min(struct(col("src_chkpt"), col("src_node"))).as("s"))
+        .select(col("digest"), col("s.src_chkpt").as("src_chkpt"),
+          col("s.src_node").as("src_node"))
+      distinctMap = (if (distinctMap == null) newOnes else distinctMap.union(newOnes))
+        .localCheckpoint(true)
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.dedup.ChunkDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's golden unit vectors
+  * (/root/reference/test/test_case_01..10.cpp, chunk_size=1, 8-byte inputs,
+  * two checkpoints) — expected first-occurrence / shifted-duplicate REGION
+  * counts for step 1, from FIXTURES.md §3 — plus randomized restart
+  * roundtrips (test/tree_chkpt.cpp analogue).
+  */
+class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def runCase(step0: String, step1: String): (Long, Long) = {
+    val chain = new ChunkDedup.Chain(spark, step0.length.toLong)
+    chain.checkpoint(ChunkDedup.chunkify(spark, step0, 1))
+    val r = chain.checkpoint(ChunkDedup.chunkify(spark, step1, 1))
+    // restart must reproduce both checkpoints byte-for-byte
+    assert(restartString(chain, 0, step0.length) == step0)
+    assert(restartString(chain, 1, step1.length) == step1)
+    (r.numFirstOcur, r.numShiftDupl)
+  }
+
+  private def restartString(chain: ChunkDedup.Chain, cid: Int, n: Int): String = {
+    val rows = chain.restart(cid).collect()
+    assert(rows.length == n, s"restart($cid) produced ${rows.length}/$n chunks")
+    rows.sortBy(_.getLong(0)).map(_.getString(1)).mkString
+  }
+
+  val goldenVectors = Seq(
+    // (step0, step1, expected FO regions, expected SD regions, case id)
+    ("ABCDEFGH", "IJKLMNOP", 1L, 0L, "01"),
+    ("ABCDEFGH", "ABCDEFGH", 0L, 0L, "02"),
+    ("ABCDEFGH", "ABCDEIJK", 2L, 0L, "03"),
+    ("ABCDEFGH", "IJABCDEK", 2L, 3L, "04"),
+    ("ABCDEFGH", "ABCIABCJ", 2L, 2L, "05"),
+    ("ABCDEFGH", "EFGBCDIJ", 1L, 4L, "06"),
+    ("ABCDEFGH", "IJKLABIH", 1L, 2L, "07"),
+    ("MNXYOPQR", "IJXYIJAB", 2L, 1L, "08"),
+    ("MNXYOPQR", "IJXYIJIB", 2L, 2L, "09"),
+    ("MNXYOPQR", "IJXYIJJI", 1L, 3L, "10")
+  )
+
+  goldenVectors.foreach { case (s0, s1, fo, sd, id) =>
+    test(s"golden vector $id: $s0 → $s1 ⇒ FO=$fo SD=$sd") {
+      assert(runCase(s0, s1) == ((fo, sd)))
+    }
+  }
+
+  test("ragged (non-power-of-two) chunk counts roundtrip") {
+    val step0 = "ABCDEFGHIJK" // 11 chunks
+    val step1 = "ABCXYFGHIJK"
+    val chain = new ChunkDedup.Chain(spark, 11L)
+    chain.checkpoint(ChunkDedup.chunkify(spark, step0, 1))
+    chain.checkpoint(ChunkDedup.chunkify(spark, step1, 1))
+    assert(restartString(chain, 0, 11) == step0)
+    assert(restartString(chain, 1, 11) == step1)
+  }
+
+  test("distributed per-level sweep agrees with the local fast path") {
+    // same inputs through both execution paths ⇒ identical region counts
+    for ((s0, s1, fo, sd, id) <- goldenVectors.take(5)) {
+      val chain = new graft.dedup.ChunkDedup.Chain(spark, 8L, localSweepMax = 0L)
+      chain.checkpoint(ChunkDedup.chunkify(spark, s0, 1))
+      val r = chain.checkpoint(ChunkDedup.chunkify(spark, s1, 1))
+      assert((r.numFirstOcur, r.numShiftDupl) == ((fo, sd)), s"case $id (distributed)")
+    }
+  }
+
+  test("randomized multi-checkpoint roundtrip (tree_chkpt analogue)") {
+    val rnd = new scala.util.Random(1931) // reference generator seed
+    val n = 64
+    val alphabet = "ABCDEFGH"
+    var cur = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+    val chain = new ChunkDedup.Chain(spark, n.toLong)
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (step <- 0 until 4) {
+      if (step > 0) {
+        // Sparse perturbation: flip ~10% of chunks; Swap: exchange two blocks
+        for (i <- 0 until n if rnd.nextDouble() < 0.1)
+          cur(i) = alphabet(rnd.nextInt(alphabet.length))
+        val (b1, b2) = (rnd.nextInt(n / 16), rnd.nextInt(n / 16))
+        val tmp = cur.slice(b1 * 16, b1 * 16 + 16)
+        Array.copy(cur, b2 * 16, cur, b1 * 16, 16)
+        Array.copy(tmp, 0, cur, b2 * 16, 16)
+      }
+      val s = new String(cur)
+      snapshots += s
+      chain.checkpoint(ChunkDedup.chunkify(spark, s, 1))
+    }
+    for (cid <- snapshots.indices)
+      assert(restartString(chain, cid, n) == snapshots(cid), s"checkpoint $cid")
+  }
+}
