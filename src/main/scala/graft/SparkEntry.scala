@@ -61,6 +61,24 @@ object SparkEntry {
       graft.dedup.SimHashDedup.hammingPairs(pagesCorpus(s, dir),
         graft.dedup.DedupConfig())),
 
+    // incremental snapshot-over-snapshot dedup (checkpointed stages, resume)
+    "pages_incremental_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = java.nio.file.Files.createTempDirectory("graft_inc_q").toString
+      val store = new graft.state.SnapshotStore(s, root)
+      val inc = new graft.dedup.IncrementalDedup(s, store, graft.dedup.DedupConfig())
+      val n = math.max(100L, pagesN(dir) / 2)
+      val snap0 = graft.pages.PagesGen.pages(s, n, 42L,
+        s.sparkContext.defaultParallelism)
+      val snap1 = graft.pages.PagesGen.pages(s, n + n / 10, 42L,
+        s.sparkContext.defaultParallelism)
+        .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
+          concat(col("text"), lit(" fresh revision tokens zz1 zz2 zz3")))
+          .otherwise(col("text")))
+      inc.processSnapshot(0, snap0)
+      inc.processSnapshot(1, snap1)
+    }),
+
     // Reference-fidelity chunk dedup (tree approach): two checkpoints derived
     // from the documents table, FO/FIXED/SHIFT region labels (rows-only; the
     // 10 golden vectors are asserted in ChunkDedupSpec).

@@ -1,0 +1,99 @@
+package graft.state
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed versioned table store — the Iceberg stand-in (no Iceberg
+  * jars ship in this sandbox; the layout mirrors Iceberg's snapshot dirs +
+  * manifest commit so swapping `commit` to `writeTo(...).append()` is a
+  * one-line change on a real cluster).
+  *
+  * Commit protocol (crash-safe): data lands in `<table>/snapshot=<id>.tmp`,
+  * the `_MANIFEST.json` (row count + PER-PARTITION lineage + stage metadata,
+  * per north_rule) is written INSIDE the tmp dir, then the dir is atomically
+  * renamed. A reader only trusts dirs whose manifest exists ⇒ any stage is
+  * resumable: rerunning a job skips every committed (table, snapshot) and
+  * recomputes only what is missing — the reference's checkpoint-chain restart
+  * contract (tree_approach.cpp:943) generalized to stages.
+  */
+final class SnapshotStore(spark: SparkSession, root: String) {
+
+  private def dir(table: String, snap: Int): Path =
+    Paths.get(root, table, s"snapshot=$snap")
+  private def manifest(table: String, snap: Int): Path =
+    dir(table, snap).resolve("_MANIFEST.json")
+
+  def isCommitted(table: String, snap: Int): Boolean = Files.exists(manifest(table, snap))
+
+  /** Write + commit one snapshot of a table. No-op if already committed. */
+  def commit(table: String, snap: Int, df: DataFrame,
+             meta: Map[String, String] = Map.empty): Unit = {
+    if (isCommitted(table, snap)) return
+    val target = dir(table, snap)
+    val tmp = Paths.get(target.toString + ".tmp")
+    deleteRec(tmp); deleteRec(target)
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // per-partition lineage of what was just written (parquet file = partition)
+    val written = spark.read.parquet(tmp.toString)
+    val parts = written.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows")).collect()
+      .map(r => (baseName(r.getString(0)), r.getLong(1)))
+    val rows = parts.map(_._2).sum
+    val lineage = parts.map { case (f, n) => s"""{"file": ${q(f)}, "rows": $n}""" }
+    val ms = (System.nanoTime() - t0) / 1000000
+    val metaJson = meta.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ")
+    val json =
+      s"""{"table": ${q(table)}, "snapshot": $snap, "rows": $rows,
+         | "num_partitions": ${lineage.length}, "write_ms": $ms,
+         | "partitions": [${lineage.mkString(", ")}],
+         | "meta": {$metaJson}}""".stripMargin
+    Files.write(tmp.resolve("_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def read(table: String, snap: Int): DataFrame = {
+    require(isCommitted(table, snap), s"$table/snapshot=$snap not committed")
+    spark.read.parquet(dir(table, snap).toString)
+  }
+
+  /** Read committed snapshots snapLo..snapHi of a table as one DataFrame with
+    * a `snapshot_id` column (partition-pruned scan analogue).
+    */
+  def readRange(table: String, snapLo: Int, snapHi: Int): DataFrame =
+    (snapLo to snapHi).filter(isCommitted(table, _))
+      .map(s => read(table, s).withColumn("snapshot_id", lit(s)))
+      .reduce(_ unionByName _)
+
+  def latest(table: String): Option[Int] = {
+    val t = Paths.get(root, table)
+    if (!Files.exists(t)) return None
+    val snaps = Files.list(t).toArray.map(_.toString)
+      .flatMap { p =>
+        "snapshot=(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt)
+      }
+      .filter(isCommitted(table, _))
+    if (snaps.isEmpty) None else Some(snaps.max)
+  }
+
+  def manifestJson(table: String, snap: Int): String =
+    new String(Files.readAllBytes(manifest(table, snap)), StandardCharsets.UTF_8)
+
+  /** Compute-or-reuse: the stage runner every pipeline step goes through. */
+  def stage(table: String, snap: Int, meta: Map[String, String] = Map.empty)
+           (compute: => DataFrame): DataFrame = {
+    if (!isCommitted(table, snap)) commit(table, snap, compute, meta)
+    read(table, snap)
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+  private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.dedup._
+import graft.pages.PagesGen
+import graft.state.SnapshotStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private val cfg = DedupConfig()
+
+  /** snapshot 0: docs 0..n; snapshot 1: same urls, every 37th text changed,
+    * plus m new urls — deterministic.
+    */
+  private def snapshotPages(snap: Int, n: Int, m: Int): DataFrame = {
+    val base = PagesGen.pages(spark, n + (if (snap >= 1) m else 0), seed = 42L, partitions = 4)
+    if (snap == 0) base.filter(col("doc_id") < n)
+    else base.withColumn("text",
+      when(col("doc_id") % 37 === 0 && col("doc_id") < n,
+        concat(col("text"), lit(" fresh revision tokens zz1 zz2 zz3")))
+        .otherwise(col("text")))
+  }
+
+  private def mtimes(root: Path): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith("_MANIFEST.json"))
+      .map(p => root.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
+  test("incremental dedup across snapshots matches accumulated-content oracle; resume is a no-op") {
+    val root = Files.createTempDirectory("graft_inc").toString
+    val store = new SnapshotStore(spark, root)
+    val inc = new IncrementalDedup(spark, store, cfg)
+
+    val (n, m) = (300, 60)
+    inc.processSnapshot(0, snapshotPages(0, n, m))
+    val assign1 = inc.processSnapshot(1, snapshotPages(1, n, m))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign1.size == n + m)
+
+    // oracle over ALL content ever seen (reference semantics: old checkpoints
+    // stay valid dedup sources), projected onto snapshot-1 documents
+    val contents = store.read("registry", 1)
+      .join(store.readRange("pages_keyed", 0, 1)
+        .groupBy("ckey").agg(min(struct(col("doc_id"), col("text"))).as("w"))
+        .select(col("ckey"), col("w.text").as("text")), Seq("ckey"))
+      .select("content_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val oraclePairs = SerialOracle.truePairs(contents, cfg)
+    val oracleClusters = SerialOracle.clusters(contents.map(_._1), oraclePairs)
+    // project: doc → content → oracle cluster
+    val doc2content = store.read("pages_keyed", 1)
+      .join(store.read("registry", 1), Seq("ckey"))
+      .select("doc_id", "content_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val truePairsProjected = for {
+      (a, ca) <- doc2content.toSeq; (b, cb) <- doc2content.toSeq
+      if a < b && oracleClusters(ca) == oracleClusters(cb)
+    } yield (a, b)
+    val detected = truePairsProjected.count { case (a, b) => assign1(a) == assign1(b) }
+    val recall = if (truePairsProjected.isEmpty) 1.0
+      else detected.toDouble / truePairsProjected.size
+    assert(truePairsProjected.nonEmpty)
+    assert(recall >= 0.99, s"recall $recall over ${truePairsProjected.size} pairs")
+
+    // changed urls moved to new content clusters where appropriate
+    val changedDoc = 37L // doc 37 revised in snapshot 1
+    assert(doc2content(changedDoc) == changedDoc || assign1.contains(changedDoc))
+
+    // ---- resume: rerun is a pure no-op (no stage recomputed) --------------
+    val before = mtimes(Paths.get(root))
+    val inc2 = new IncrementalDedup(spark, new SnapshotStore(spark, root), cfg)
+    val again = inc2.processSnapshot(1, snapshotPages(1, n, m))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == assign1)
+    assert(mtimes(Paths.get(root)) == before, "resume must not rewrite committed stages")
+
+    // ---- kill/resume: drop the last two stages, rerun completes them ------
+    def rmrf(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    rmrf(Paths.get(root, "content_clusters", "snapshot=1"))
+    rmrf(Paths.get(root, "assignments", "snapshot=1"))
+    rmrf(Paths.get(root, "metrics", "snapshot=1"))
+    val inc3 = new IncrementalDedup(spark, new SnapshotStore(spark, root), cfg)
+    val resumed = inc3.processSnapshot(1, snapshotPages(1, n, m))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == assign1)
+    val after = mtimes(Paths.get(root))
+    // upstream stages untouched, killed stages recommitted
+    assert(after("edges/snapshot=1/_MANIFEST.json") == before("edges/snapshot=1/_MANIFEST.json"))
+    assert(after("content_clusters/snapshot=1/_MANIFEST.json")
+      > before("content_clusters/snapshot=1/_MANIFEST.json") - 1)
+
+    // manifests carry per-partition lineage
+    val mj = store.manifestJson("edges", 1)
+    assert(mj.contains("\"partitions\"") && mj.contains("\"rows\""))
+  }
+}
