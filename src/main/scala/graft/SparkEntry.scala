@@ -61,6 +61,19 @@ object SparkEntry {
       graft.dedup.SimHashDedup.hammingPairs(pagesCorpus(s, dir),
         graft.dedup.DedupConfig())),
 
+    // exact long-repeat pass, winnowing candidates (detects all repeats
+    // >= gram+window-1 corpus-wide)
+    "pages_long_repeats" -> ((s, dir) =>
+      graft.dedup.LongRepeats.repeats(pagesCorpus(s, dir))),
+
+    // suffix-array pass over host-co-partitioned docs (exact within partition)
+    "pages_sa_repeats" -> ((s, dir) =>
+      graft.dedup.LongRepeats.repeatsWithinPartitions(
+        pagesCorpus(s, dir).repartition(
+          s.sparkContext.defaultParallelism,
+          (col("doc_id") / graft.pages.PagesGen.GROUP).cast("long")),
+        minLen = 35)),
+
     // incremental snapshot-over-snapshot dedup (checkpointed stages, resume)
     "pages_incremental_clusters" -> ((s, dir) => {
       import org.apache.spark.sql.functions._

@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.gf
+
+/** Exact long-repeat detection — the engine's analogue of the reference's
+  * maximal duplicated regions (Merkle forest, tree_approach.cpp:413-477),
+  * re-expressed for variable-length text per the north_star's "suffix-array
+  * substring pass for exact long-repeat detection".
+  *
+  * Two candidate generators feed ONE verify+extend expression:
+  *
+  *   - **winnowing** (Schleimer et al.): per-doc fingerprints, grouped by
+  *     hash — detects EVERY repeat of length ≥ gram+window−1 across the whole
+  *     corpus regardless of partitioning (one narrow shuffle of (hash, doc,
+  *     pos) triples). This is the scale path: fingerprints are ~2/window of
+  *     gram positions.
+  *   - **per-partition suffix array** (prefix doubling + Kasai LCP): exact
+  *     within a partition with no length slack; used where documents are
+  *     co-partitioned (e.g. by host) and for in-doc repeats.
+  *
+  * Verification extends each anchor to its MAXIMAL span; anchors inside the
+  * same repeat extend to the identical span, so `distinct` replaces interval
+  * merging. Output rows: (a, b, a_start, b_start, length) with
+  * (a, a_start) < (b, b_start) lexicographically.
+  */
+object LongRepeats {
+
+  /** Normalized text per doc (shared by generators and the verifier). */
+  private def norm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), gf.normalizeText(col(textCol)).as("t"))
+
+  /** Winnowing candidates: (a, pa, b, pb). Hot fingerprints (ubiquitous
+    * boilerplate grams) emit star pairs beyond `maxBucket` — linear, not
+    * quadratic, in bucket size.
+    */
+  def winnowCandidates(normDocs: DataFrame, gram: Int, window: Int,
+                       maxBucket: Int): DataFrame = {
+    val fps = normDocs
+      .select(col("doc_id"), explode(gf.winnow(col("t"), gram, window)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.hash").as("h"))
+    val buckets = fps.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairsExpr =
+      s"""CASE WHEN size(ids) <= $maxBucket THEN
+         |  flatten(transform(ids, (x, i) ->
+         |    transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS p, y AS q))))
+         |ELSE
+         |  transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS p, y AS q))
+         |END""".stripMargin
+    buckets.select(explode(expr(pairsExpr)).as("pr"))
+      .select(col("pr.p.doc_id").as("a"), col("pr.p.pos").as("pa"),
+        col("pr.q.doc_id").as("b"), col("pr.q.pos").as("pb"))
+  }
+
+  /** Suffix-array candidates within each partition: adjacent SA entries with
+    * LCP ≥ minLen spanning different docs (or different positions of one doc).
+    * Exact for co-partitioned docs; O(n log² n) per partition.
+    */
+  def suffixArrayCandidates(normDocs: DataFrame, minLen: Int): DataFrame = {
+    val spark = normDocs.sparkSession
+    val schema = StructType(Seq(
+      StructField("a", LongType, false), StructField("pa", IntegerType, false),
+      StructField("b", LongType, false), StructField("pb", IntegerType, false)))
+    val rdd = normDocs.select("doc_id", "t").rdd.mapPartitions { it =>
+      val docs = it.map(r => (r.getLong(0), r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
+      if (docs.length == 0) Iterator.empty
+      else {
+        // concatenate with 0x00 separators (absent from normalized text)
+        val total = docs.map(_._2.length).sum + docs.length
+        val buf = new Array[Byte](total)
+        val bounds = new Array[(Long, Int, Int)](docs.length) // (doc, start, end)
+        var off = 0
+        for (i <- docs.indices) {
+          val (id, bytes) = docs(i)
+          System.arraycopy(bytes, 0, buf, off, bytes.length)
+          bounds(i) = (id, off, off + bytes.length)
+          off += bytes.length
+          buf(off) = 0; off += 1
+        }
+        def locate(p: Int): (Long, Int) = {
+          // binary search over bounds
+          var lo = 0; var hi = bounds.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi + 1) >>> 1
+            if (bounds(mid)._2 <= p) lo = mid else hi = mid - 1
+          }
+          (bounds(lo)._1, p - bounds(lo)._2)
+        }
+        val sa = SuffixArray.build(buf)
+        val lcp = SuffixArray.kasai(buf, sa)
+        (0 until lcp.length).iterator.filter(lcp(_) >= minLen).flatMap { i =>
+          val (d1, p1) = locate(sa(i))
+          val (d2, p2) = locate(sa(i + 1))
+          // lcp may cross a separator only if one suffix starts with it — the
+          // separator byte 0 sorts first and never equals text bytes, so a
+          // common prefix of length >= minLen cannot contain it.
+          if (d1 != d2 || p1 != p2) {
+            val ((aa, pa), (bb, pb)) =
+              if (d1 < d2 || (d1 == d2 && p1 <= p2)) ((d1, p1), (d2, p2))
+              else ((d2, p2), (d1, p1))
+            Some(Row(aa, pa, bb, pb))
+          } else None
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Verify + extend candidates to maximal spans ≥ minLen. */
+  def verifyAndExtend(normDocs: DataFrame, candidates: DataFrame,
+                      gram: Int, minLen: Int): DataFrame = {
+    val ta = normDocs.select(col("doc_id").as("a"), col("t").as("ta"))
+    val tb = normDocs.select(col("doc_id").as("b"), col("t").as("tb"))
+    candidates
+      .join(ta, "a").join(tb, "b")
+      .withColumn("m", gf.extendMatch(col("ta"), col("tb"),
+        col("pa").cast("int"), col("pb").cast("int"), gram))
+      .filter(col("m").isNotNull && col("m.len") >= minLen)
+      .filter(col("a") =!= col("b") || col("m.a_start") =!= col("m.b_start"))
+      .select(col("a"), col("b"), col("m.a_start").as("a_start"),
+        col("m.b_start").as("b_start"), col("m.len").as("length"))
+      .distinct()
+  }
+
+  /** Full winnowing pass: detects ALL maximal repeats ≥ gram+window−1
+    * (guarantee of the winnowing scheme), any partitioning.
+    */
+  def repeats(docs: DataFrame, gram: Int = 24, window: Int = 12,
+              maxBucket: Int = 32, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val n = norm(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minLen = gram + window - 1
+    verifyAndExtend(n, winnowCandidates(n, gram, window, maxBucket), gram, minLen)
+  }
+
+  /** Full suffix-array pass over the current partitioning (gram anchors the
+    * verifier; detection is exact within partitions at exactly minLen).
+    */
+  def repeatsWithinPartitions(docs: DataFrame, minLen: Int = 35,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val n = norm(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyAndExtend(n, suffixArrayCandidates(n, minLen), minLen, minLen)
+  }
+}

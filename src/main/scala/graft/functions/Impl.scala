@@ -355,6 +355,30 @@ object Impl {
     new GenericArrayData(sel.toArray)
   }
 
+  /** Verify a candidate repeat anchor (a[pa..pa+gram) == b[pb..pb+gram)) and
+    * extend it to the MAXIMAL matching span. Returns {startA, startB, len} or
+    * null when the anchor doesn't verify (fingerprint collision). Two anchors
+    * inside the same maximal repeat extend to the identical span, so a plain
+    * `distinct` downstream replaces interval merging.
+    */
+  def extendMatch(a: UTF8String, b: UTF8String, pa: Int, pb: Int, gram: Int): InternalRow = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    if (pa < 0 || pb < 0 || pa + gram > ab.length || pb + gram > bb.length) return null
+    var i = 0
+    while (i < gram) {
+      if (ab(pa + i) != bb(pb + i)) return null
+      i += 1
+    }
+    var sa = pa
+    var sb = pb
+    while (sa > 0 && sb > 0 && ab(sa - 1) == bb(sb - 1)) { sa -= 1; sb -= 1 }
+    var ea = pa + gram
+    var eb = pb + gram
+    while (ea < ab.length && eb < bb.length && ab(ea) == bb(eb)) { ea += 1; eb += 1 }
+    InternalRow(sa, sb, ea - sa)
+  }
+
   // ------------------------------------------------------------- embeddings
 
   /** Cosine similarity of two float vectors, accumulated in double with a

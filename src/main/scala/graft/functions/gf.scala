@@ -54,6 +54,11 @@ object gf {
   def winnow(col: Column, gram: Int, window: Int): Column =
     c(Winnow(x(col), gram, window))
 
+  /** Verify + maximally extend a repeat anchor → struct(a_start,b_start,len)|null. */
+  def extendMatch(textA: Column, textB: Column, posA: Column, posB: Column,
+                  gram: Int): Column =
+    c(ExtendMatch(x(textA), x(textB), x(posA), x(posB), gram))
+
   /** Cosine similarity of two array<float> columns. */
   def cosine(a: Column, b: Column): Column = c(CosineSim(x(a), x(b)))
 

@@ -180,6 +180,33 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): Winnow = copy(child = c)
   }
 
+  /** Verify + maximally extend a candidate repeat anchor:
+    * (textA, textB, posA, posB) → struct(a_start, b_start, len) | null.
+    */
+  case class ExtendMatch(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression, gram: Int)
+      extends QuaternaryExpression with ExpectsInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(StringType, StringType, IntegerType, IntegerType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("a_start", IntegerType, false),
+      StructField("b_start", IntegerType, false),
+      StructField("len", IntegerType, false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any, pa: Any, pb: Any): Any =
+      Impl.extendMatch(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+        pa.asInstanceOf[Int], pb.asInstanceOf[Int], gram)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, pa, pb) => {
+        s"""${ev.value} = graft.functions.Impl.extendMatch($a, $b, $pa, $pb, $gram);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): ExtendMatch =
+      copy(a, b, c, d)
+  }
+
   /** Cosine similarity of two float vectors (deterministic double accumulation). */
   case class CosineSim(left: Expression, right: Expression)
       extends GraftBinary with ExpectsInputTypes {
@@ -246,6 +273,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_jaccard") { a => JaccardSim(a(0), a(1)) }
     reg("graft_fingerprint64") { a => Fingerprint64(a.head) }
     reg("graft_winnow") { a => Winnow(a(0), litInt(a(1)), litInt(a(2))) }
+    reg("graft_extend_match") { a => ExtendMatch(a(0), a(1), a(2), a(3), litInt(a(4))) }
     reg("graft_cosine") { a => CosineSim(a(0), a(1)) }
     reg("graft_srp_bucket") { a => SrpBucket(a(0), litInt(a(1)), litLong(a(2))) }
   }
