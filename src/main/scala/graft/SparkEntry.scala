@@ -193,6 +193,28 @@ object SparkEntry {
         .select(col("qid"), col("nbr"), col("sim"), col("rk").cast("long").as("rk"))
     }),
 
+    // Text analysis: language-ID marker heuristic (deterministic argmax).
+    "lang_id" -> ((s, dir) => graft.text.TextAnalysis.langId(docs(s, dir))),
+
+    // Text analysis: quality features + composite score.
+    "quality_score" -> ((s, dir) => graft.text.TextAnalysis.quality(docs(s, dir))),
+
+    // Text analysis: whitespace/BPE-estimate/distinct token counts.
+    "token_stats_ext" -> ((s, dir) => graft.text.TextAnalysis.tokenStats(docs(s, dir))),
+
+    // Document fingerprints (rolling 64-bit + murmur128 hex) — rows-only.
+    "text_fingerprints" -> ((s, dir) => graft.text.TextAnalysis.fingerprints(docs(s, dir))),
+
+    // Similarity search, scale path: SRP-LSH bucketed ANN — rows-only
+    // (recall vs exact asserted in TextMultimodalAnnSpec).
+    "ann_topk_lsh" -> ((s, dir) =>
+      graft.sim.Ann.lshTopK(emb(s, dir), k = 5, bits = 10, tables = 6, seed = 7L)),
+
+    // Multimodal: binary assets + stubbed batched decode — rows-only.
+    "mm_decode_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.mediaFromPages(pagesCorpus(s, dir)), 64)),
+
     // P2: 128-bit murmur3_x64_128 content digest (no DuckDB equivalent —
     // rows-only check; byte-compatibility asserted in the test suite).
     "murmur128_digest" -> ((s, dir) =>
@@ -209,6 +231,40 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "lang_id" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text),' '), x -> list_contains(['the','and','of','to','in','is'], x))) AS m_en,
+        |    len(list_filter(string_split(lower(text),' '), x -> list_contains(['der','die','und','das','nicht','ist'], x))) AS m_de,
+        |    len(list_filter(string_split(lower(text),' '), x -> list_contains(['le','la','et','les','des','est'], x))) AS m_fr,
+        |    len(list_filter(string_split(lower(text),' '), x -> list_contains(['el','de','que','los','una','es'], x))) AS m_es
+        |  FROM documents)
+        |SELECT doc_id, m_en, m_de, m_fr, m_es,
+        |  CASE WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es AND m_en > 0 THEN 'en'
+        |       WHEN m_de >= m_fr AND m_de >= m_es AND m_de > 0 THEN 'de'
+        |       WHEN m_fr >= m_es AND m_fr > 0 THEN 'fr'
+        |       WHEN m_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM m""".stripMargin,
+    "quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    length(text) AS n_chars_text,
+        |    len(list_filter(string_split(lower(text),' '), x -> list_contains(['the','and','of','to','in','is'], x))) AS stop_hits,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_chars_text, stop_hits, n_digits,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.5
+        |      + (stop_hits * 1.0 / greatest(n_tokens, 1)) * 0.3
+        |      + CASE WHEN n_chars_text > 0 THEN 0.2 ELSE 0.0 END, 6) AS quality
+        |FROM f""".stripMargin,
+    "token_stats_ext" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_ws_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+        |  len(list_distinct(string_split(lower(text),' '))) AS n_distinct
+        |FROM documents""".stripMargin,
     "dedup_exact_clusters" ->
       """SELECT md5(text) AS h, min(doc_id) AS rep_doc, count(*) AS cnt
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -1,0 +1,92 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.pages.PagesGen
+import graft.sim.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextMultimodalAnnSpec extends AnyFunSuite with SparkTestBase {
+
+  test("langId: marker heuristic picks the dominant language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is in the garden"),
+      (2L, "der hund und die katze das ist nicht gut"),
+      (3L, "le chat et la maison les deux est grande"),
+      (4L, "xyzzy qwerty plugh")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("quality + tokenStats formulas are deterministic and sane") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox 123 jumps")).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(df).collect().head
+    assert(q.getLong(1) == 6) // tokens
+    assert(q.getLong(4) == 3) // digits
+    val t = TextAnalysis.tokenStats(df).collect().head
+    assert(t.getLong(1) == 6 && t.getLong(3) == 6)
+    assert(t.getLong(2) == math.ceil(29 / 4.0).toLong)
+  }
+
+  test("multimodal: stub decode has real schema, batch shape, determinism") {
+    val pages = PagesGen.pages(spark, 200, 42L, partitions = 4)
+    val media = Multimodal.mediaFromPages(pages)
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("asset_id", "kind", "bytes", "meta"))
+    val feats = Multimodal.decodeFeatures(media, batchSize = 32)
+    val rows = feats.collect()
+    assert(rows.length == 200)
+    // batch shape observable: full batches of 32 within partitions
+    val batchSizes = rows.map(_.getInt(7)).toSet
+    assert(batchSizes.max <= 32 && batchSizes.min >= 1)
+    assert(rows.count(_.getInt(7) == 32) > 0, "expected at least one full batch")
+    // histogram is a real function of the bytes: 16 bins summing to byte count
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getSeq[Int](5).length == 16)
+    // deterministic across runs
+    val again = Multimodal.decodeFeatures(media, batchSize = 32).collect()
+      .find(_.getLong(0) == 0L).get
+    assert(again.getSeq[Int](5) == r0.getSeq[Int](5))
+    // videos get frame samples, images/audio don't
+    rows.foreach { r =>
+      if (r.getString(1) == "video") assert(r.getInt(6) == 4) else assert(r.getInt(6) == 0)
+    }
+  }
+
+  test("ANN: LSH top-k achieves high recall on planted near-duplicates") {
+    import spark.implicits._
+    // 100 base vectors + a noisy copy of each (cos ~ 0.99) + 200 distractors
+    def unit(seed: Long, dim: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 64
+    val rows = (0 until 100).flatMap { i =>
+      val base = unit(1000 + i, dim)
+      val noisy = base.zip(unit(5000 + i, dim)).map { case (b, n) => b + 0.1f * n }
+      Seq((i.toLong, base), (100L + i, noisy))
+    } ++ (0 until 200).map(i => (300L + i, unit(9000 + i, dim)))
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val lsh = Ann.lshTopK(emb, k = 5, bits = 10, tables = 6, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // recall: base i should find its noisy twin 100+i
+    val hits = (0 until 100).count { i =>
+      lsh.get(i.toLong).exists(_.contains(100L + i))
+    }
+    assert(hits >= 85, s"LSH recall ${hits}/100")
+
+    // exact brute force is the ground truth: twin is the #1 neighbor
+    val exact = Ann.exactTopK(emb, Seq(0L, 1L, 2L), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == Map(0L -> 100L, 1L -> 101L, 2L -> 102L))
+  }
+}
