@@ -1,24 +1,42 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Driver bench: one JSON line. `queries` carries per-query wall seconds;
+  * extra keys report the flagship near-dup pipeline throughput (docs/sec,
+  * corpus generation excluded — the metric BASELINE.md pins).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = math.max(cpus, 8))
+
+    // flagship: near-dup pipeline docs/sec on the synthesized corpus,
+    // input materialized (and its generation excluded) before timing
+    val nDocs = SparkEntry.pagesN(sfDir)
+    val corpus = graft.pages.PagesGen.pages(spark, nDocs, 42L, cpus * 2)
+      .select("doc_id", "text") // columns the pipeline reads
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val tp0 = System.nanoTime()
+    val res = graft.dedup.NearDupPipeline.run(spark, corpus, graft.dedup.DedupConfig())
+    res.assignments.count()
+    val pipelineSec = (System.nanoTime() - tp0) / 1e9
+    val docsPerSec = nDocs / pipelineSec
+    corpus.unpersist()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipelineSec
+    // driver contract shape (metric/value/unit/queries/sf) + throughput extras
+    println(s"""{"metric":"total","value":$total,"unit":"sec","dedup_docs_per_sec":$docsPerSec,"pipeline_sec":$pipelineSec,"pipeline_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

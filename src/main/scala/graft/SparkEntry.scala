@@ -178,6 +178,43 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
           count(lit(1)).as("n"))),
 
+    // Structured Streaming: windowed agg + watermark over the events table,
+    // drained synchronously (AvailableNow) so the batch oracle can check it.
+    "events_windowed_agg" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedAgg(s, s"$dir/events.parquet")),
+
+    // A5-style histogram: exact-dup cluster size → count of clusters.
+    "cluster_size_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))),
+
+    // Generic 3-way join + agg (customer ⨝ orders ⨝ lineitem), decimal-exact.
+    "q3_join_agg" -> ((s, dir) => {
+      val c = GraftSession.table(s, dir, "customer")
+      val o = GraftSession.table(s, dir, "orders")
+      val l = lineitem(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // Semi/anti joins: customers with vs without orders (§2.8 analogue).
+    "customer_semi_anti" -> ((s, dir) => {
+      val c = GraftSession.table(s, dir, "customer").select("c_custkey")
+      val o = GraftSession.table(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val withO = c.join(o, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("with_orders").as("cls"))
+      val without = c.join(o, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("cls"))
+      withO.union(without)
+    }),
+
     // Similarity search: exact brute-force cosine top-k (baseline path).
     "ann_topk_exact" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -294,6 +331,28 @@ object SparkEntry {
         |       round(len(list_intersect(a.ws, b.ws)) * 1.0 /
         |             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac
         |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "events_windowed_agg" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+        |       count(*) AS n,
+        |       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "cluster_size_histogram" ->
+      """SELECT sz, count(*) AS n_clusters FROM
+        |  (SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY 1)
+        |GROUP BY sz""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+        |       sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "customer_semi_anti" ->
+      """SELECT c_custkey, 'with_orders' AS cls FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS cls FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

@@ -49,7 +49,7 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      val newSig = checksum(small)
+      val newSig = checksum(small) // one aggregate per round; prior sig cached
       converged = newSig == sig
       sig = newSig
       e = small
@@ -68,13 +68,37 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Cluster assignment for every node: (id, cluster) with cluster = min id
-    * of the node's component (singletons map to themselves).
+  /** Edge sets up to this size run as driver union-find (one collect, ~ms);
+    * beyond it the distributed star rounds run. 2M edges × 16 B ≈ 32 MB —
+    * comfortably driver-safe; at web scale the distributed path engages.
     */
-  def assignAll(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val comps = run(spark, edges)
-    nodes.select(col(nodes.columns.head).as("id"))
+  final val SMALL_GRAPH_MAX: Long = 2L * 1000 * 1000
+
+  /** Driver union-find over a collected edge list (min-id representative). */
+  def localComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val ids = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+    SerialOracle.clusters(ids, edges)
+  }
+
+  /** Cluster assignment for every node: (id, cluster) with cluster = min id
+    * of the node's component (singletons map to themselves). Chooses the
+    * local or distributed path by edge count.
+    */
+  def assignAll(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                smallGraphMax: Long = SMALL_GRAPH_MAX): DataFrame = {
+    val e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val comps =
+      if (nEdges <= smallGraphMax) {
+        import spark.implicits._
+        val local = localComponents(
+          e.collect().map(r => (r.getLong(0), r.getLong(1))))
+        local.toSeq.toDF("id", "comp")
+      } else run(spark, e)
+    val out = nodes.select(col(nodes.columns.head).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+    out
   }
 }

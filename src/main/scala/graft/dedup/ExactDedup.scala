@@ -17,22 +17,25 @@ import graft.functions.gf
   */
 object ExactDedup {
 
-  /** (doc_id, key) where key is the 64-bit content hash of normalized text.
-    * 64-bit keys group faster than 16-byte binary; the full 128-bit digest is
-    * available via gf.murmur128 where collision-paranoia matters.
+  /** (doc_id, key): one-pass normalized 64-bit content key (no regex, no
+    * normalized-string materialization). 64-bit keys group faster than
+    * 16-byte binary; the full 128-bit digest is available via gf.murmur128
+    * where collision-paranoia matters.
     */
   def keyed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      gf.hash64(gf.normalizeText(col(textCol))).as("ckey"))
+    docs.select(col(idCol).as("doc_id"), gf.contentKey64(col(textCol)).as("ckey"))
 
   /** One row per document: (doc_id, ckey, rep) with rep = min doc_id of its
-    * identical-content group.
+    * identical-content group. Window form: ONE corpus scan + one shuffle of
+    * narrow (doc_id, ckey) rows — the groupBy+join form scans the corpus
+    * twice.
     */
   def assignments(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val k = keyed(docs, idCol, textCol)
-    val reps = k.groupBy("ckey").agg(min("doc_id").as("rep"))
-    k.join(reps, "ckey").select("doc_id", "ckey", "rep")
+    import org.apache.spark.sql.expressions.Window
+    keyed(docs, idCol, textCol)
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("ckey")))
+      .select("doc_id", "ckey", "rep")
   }
 
   /** Exact-dup edges (rep, member) for the clustering union. */

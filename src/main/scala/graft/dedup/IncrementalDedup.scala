@@ -40,7 +40,7 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
 
     val keyed = store.stage("pages_keyed", snap) {
       pages.select(col("url"), col("doc_id"),
-        gf.hash64(gf.normalizeText(col("text"))).as("ckey"), col("text"))
+        gf.contentKey64(col("text")).as("ckey"), col("text"))
     }
 
     // F1/F2 fixed fast path: only urls with new/changed content continue

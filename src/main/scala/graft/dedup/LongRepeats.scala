@@ -28,9 +28,12 @@ import graft.functions.gf
   */
 object LongRepeats {
 
-  /** Normalized text per doc (shared by generators and the verifier). */
+  /** Lowercased text per doc (positions must refer to one concrete string,
+    * shared by candidate generators and the extend verifier; char-level
+    * repeats keep raw whitespace — no regex normalization on the hot path).
+    */
   private def norm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), gf.normalizeText(col(textCol)).as("t"))
+    docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
 
   /** Winnowing candidates: (a, pa, b, pb). Hot fingerprints (ubiquitous
     * boilerplate grams) emit star pairs beyond `maxBucket` — linear, not

@@ -30,10 +30,14 @@ object MinHashLSH {
     */
   def features(docs: DataFrame, cfg: DedupConfig,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
+    docs
+      // equivalent to size(shingles) > 0, but cheap and scan-pushable —
+      // filtering on size(sh) would get pushed through the projection by
+      // Catalyst and recompute the shingle kernel twice per row
+      .filter(length(trim(col(textCol))) > 0)
+      .select(
         col(idCol).as("doc_id"),
-        gf.shingles(gf.normalizeText(col(textCol)), cfg.shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
+        gf.shingles(col(textCol), cfg.shingleK).as("sh")) // kernel normalizes
       .withColumn("sig", gf.minhash(col("sh"), cfg.numPerm, cfg.seed))
 
   /** Candidate pairs (a < b) from LSH band buckets. */

@@ -51,14 +51,10 @@ object NearDupPipeline {
     val nodes = docs.select(col(idCol).as("id"))
     val assignments = ConnectedComponents.assignAll(spark, nodes, edges)
 
-    val nDocs = docs.count()
-    val nReps = reps.count()
-    val nPairs = pairs.count()
-    val metrics = {
-      import spark.implicits._
-      Seq((nDocs, nReps, nDocs - nReps, nPairs))
-        .toDF("n_docs", "n_distinct_text", "n_exact_dups", "n_near_pairs")
-    }
+    // lazy metrics plan — counts only run if the caller materializes it
+    val metrics = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(reps.agg(count(lit(1)).as("n_distinct_text")))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs")))
     Result(assignments, pairs, exactEdges, metrics)
   }
 }

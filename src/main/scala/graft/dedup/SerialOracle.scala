@@ -11,8 +11,8 @@ import graft.functions.Impl
   */
 object SerialOracle {
 
-  /** Must mirror gf.normalizeText ∘ shingles: lowercase, whitespace runs
-    * collapse (the tokenizer already splits on runs), k-word shingles.
+  /** Must mirror the graft shingle kernel's normalization: lowercase +
+    * whitespace-run tokenization, k-word shingles.
     */
   def shingleSet(text: String, k: Int): Array[Long] =
     Impl.shinglesFromWords(

@@ -21,9 +21,10 @@ object SimHashDedup {
   def fingerprints(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), gf.normalizeText(col(textCol)).as("t"))
-      .filter(length(col("t")) > 0)
-      .select(col("doc_id"), gf.simhash64(col("t")).as("sim64"))
+      .select(col(idCol).as("doc_id"), gf.simhash64(col(textCol)).as("sim64"),
+        length(trim(col(textCol))).as("_len")) // kernel normalizes
+      .filter(col("_len") > 0)
+      .drop("_len")
 
   /** Candidate pairs (a < b) within Hamming distance cfg.simhashMaxHamming. */
   def candidatePairs(fps: DataFrame, cfg: DedupConfig): DataFrame = {

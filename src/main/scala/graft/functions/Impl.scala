@@ -99,9 +99,47 @@ object Impl {
     out
   }
 
+  /** h1 of murmur128 without allocating the result array — the hot-loop form
+    * (same algorithm as [[murmur128]], result limited to the first word).
+    */
+  def murmurH1(bytes: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    var h1 = seed
+    var h2 = seed
+    val nblocks = len / 16
+    var b = 0
+    while (b < nblocks) {
+      val i = off + b * 16
+      var k1 = getLongLE(bytes, i)
+      var k2 = getLongLE(bytes, i + 8)
+      k1 *= C1; k1 = rotl(k1, 31); k1 *= C2; h1 ^= k1
+      h1 = rotl(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= C2; k2 = rotl(k2, 33); k2 *= C1; h2 ^= k2
+      h2 = rotl(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      b += 1
+    }
+    val t = off + nblocks * 16
+    var k1 = 0L
+    var k2 = 0L
+    val rem = len & 15
+    if (rem >= 9) {
+      var j = rem - 1
+      while (j >= 8) { k2 ^= (bytes(t + j) & 0xffL) << ((j - 8) * 8); j -= 1 }
+      k2 *= C2; k2 = rotl(k2, 33); k2 *= C1; h2 ^= k2
+    }
+    if (rem > 0) {
+      var j = math.min(rem, 8) - 1
+      while (j >= 0) { k1 ^= (bytes(t + j) & 0xffL) << (j * 8); j -= 1 }
+      k1 *= C1; k1 = rotl(k1, 31); k1 *= C2; h1 ^= k1
+    }
+    h1 ^= len.toLong; h2 ^= len.toLong
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 + h2 // == final h1 (h1 += h2 in the reference finalization)
+  }
+
   /** 64-bit content hash (h1 of murmur128, seed 0). */
   def hash64(bytes: Array[Byte], off: Int, len: Int): Long =
-    murmur128(bytes, off, len, 0L)(0)
+    murmurH1(bytes, off, len, 0L)
 
   def hash64(s: UTF8String): Long = { val b = s.getBytes; hash64(b, 0, b.length) }
 
@@ -114,21 +152,26 @@ object Impl {
 
   @inline private def isSpace(b: Byte): Boolean = (b & 0xff) <= 0x20
 
-  /** Per-word 64-bit hashes, whitespace-delimited (runs of chars <= 0x20). */
+  /** Per-word 64-bit hashes, whitespace-delimited (runs of chars <= 0x20).
+    * Allocation-free per word (primitive buffer, unboxed murmur h1) — this
+    * sits under every shingle/minhash/simhash/content-key call.
+    */
   def wordHashes(bytes: Array[Byte]): Array[Long] = {
-    val out = new java.util.ArrayList[java.lang.Long](64)
+    var buf = new Array[Long](64)
+    var m = 0
     var i = 0
     val n = bytes.length
     while (i < n) {
       while (i < n && isSpace(bytes(i))) i += 1
       val start = i
       while (i < n && !isSpace(bytes(i))) i += 1
-      if (i > start) out.add(hash64(bytes, start, i - start))
+      if (i > start) {
+        if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m * 2)
+        buf(m) = murmurH1(bytes, start, i - start, 0L)
+        m += 1
+      }
     }
-    val arr = new Array[Long](out.size())
-    var j = 0
-    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
-    arr
+    if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
   }
 
   private final val SHINGLE_PRIME = 0x100000001b3L // FNV64 prime
@@ -141,15 +184,30 @@ object Impl {
     fmix64(h)
   }
 
-  /** Distinct, sorted 64-bit k-word-shingle hashes of `text`.
-    * Whitespace-insensitive (tokenises on whitespace runs). Docs shorter than
-    * k words hash the whole word sequence as one shingle so short docs still
-    * participate in dedup.
+  /** Distinct, sorted 64-bit k-word-shingle hashes of `text`, normalized:
+    * lowercased, whitespace-run tokenised (⇒ whitespace- and case-insensitive
+    * in one kernel pass — no regex, no normalized-string column). Docs
+    * shorter than k words hash the whole word sequence as one shingle so
+    * short docs still participate in dedup.
     */
   def shingles(text: UTF8String, k: Int): ArrayData = {
-    val words = wordHashes(text.getBytes)
+    val words = wordHashes(text.toLowerCase.getBytes)
     val out = shinglesFromWords(words, k)
     new GenericArrayData(out)
+  }
+
+  /** Whole-document content key: order-sensitive fold of the normalized
+    * (lowercased, whitespace-run-tokenised) word-hash sequence — the exact
+    * dedup key. Equivalent to hashing the normalized text, in one pass.
+    * Empty/whitespace-only docs key to the same constant (they are exact
+    * duplicates of each other).
+    */
+  def contentKey64(text: UTF8String): Long = {
+    val words = wordHashes(text.toLowerCase.getBytes)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < words.length) { h = (h ^ words(i)) * SHINGLE_PRIME; i += 1 }
+    fmix64(h)
   }
 
   def shinglesFromWords(words: Array[Long], k: Int): Array[Long] = {
@@ -237,8 +295,11 @@ object Impl {
 
   // ---------------------------------------------------------------- simhash
 
-  /** SimHash 64-bit fingerprint over word hashes (term frequency weighted). */
-  def simhash64(text: UTF8String): Long = simhashFromWords(wordHashes(text.getBytes))
+  /** SimHash 64-bit fingerprint over normalized (lowercased) word hashes,
+    * term-frequency weighted.
+    */
+  def simhash64(text: UTF8String): Long =
+    simhashFromWords(wordHashes(text.toLowerCase.getBytes))
 
   def simhashFromWords(words: Array[Long]): Long = {
     val counter = new Array[Int](64)

@@ -21,6 +21,11 @@ object gf {
   /** 64-bit content hash (h1 of murmur128, seed 0). */
   def hash64(col: Column): Column = c(Hash64(x(col)))
 
+  /** Whole-document normalized content key (case/whitespace-insensitive,
+    * single kernel pass — replaces hash64(normalizeText(...)) on hot paths).
+    */
+  def contentKey64(col: Column): Column = c(ContentKey64(x(col)))
+
   /** Distinct sorted k-word-shingle hashes of a text column. */
   def shingles(col: Column, k: Int): Column = c(Shingles(x(col), k))
 

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming ingest path. The reference is batch-only
+  * (SURVEY.md §2.10) — this is the engine's forward-looking stream surface:
+  * the same windowed aggregation works as a continuous query over a
+  * file-source directory (new parquet files = new snapshots) and is driven
+  * synchronously here so the batch oracle can check it.
+  */
+object EventStream {
+
+  /** 5-minute tumbling-window counts/sums per event_type with a 10-minute
+    * watermark. Returns the COMPLETE result after draining all available
+    * input — semantically identical to the batch aggregation, which is what
+    * the DuckDB oracle runs.
+    */
+  def windowedAgg(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+    val name = s"events_win_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -68,6 +68,16 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): Hash64 = copy(c)
   }
 
+  /** Whole-document normalized content key (case/whitespace-insensitive). */
+  case class ContentKey64(child: Expression) extends GraftUnary with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = Impl.contentKey64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Impl.contentKey64($c)")
+    override protected def withNewChildInternal(c: Expression): ContentKey64 = copy(c)
+  }
+
   /** Distinct sorted 64-bit k-word-shingle hashes. */
   case class Shingles(child: Expression, k: Int) extends GraftUnary with ExpectsInputTypes {
     require(k >= 1, "shingle size k must be >= 1")
@@ -264,6 +274,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     reg("graft_murmur128") { a => Murmur128Digest(a.head) }
     reg("graft_hash64") { a => Hash64(a.head) }
+    reg("graft_content_key64") { a => ContentKey64(a.head) }
     reg("graft_shingles") { a => Shingles(a(0), litInt(a(1))) }
     reg("graft_minhash") { a => MinHashSig(a(0), litInt(a(1)), litLong(a(2))) }
     reg("graft_bands") { a => BandHashes(a(0), litInt(a(1))) }

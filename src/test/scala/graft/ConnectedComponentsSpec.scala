@@ -6,12 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
 
+  /** Runs BOTH execution paths (driver union-find and distributed star
+    * rounds) and asserts they agree before returning the result.
+    */
   private def runCC(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
     import spark.implicits._
     val e = edges.toDF("a", "b")
     val n = nodes.toDF("id")
-    ConnectedComponents.assignAll(spark, n, e)
+    val local = ConnectedComponents.assignAll(spark, n, e)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.assignAll(spark, n, e, smallGraphMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, "local and distributed CC paths disagree")
+    local
   }
 
   test("chain, two components, singletons") {
