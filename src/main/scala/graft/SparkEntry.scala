@@ -332,8 +332,8 @@ object SparkEntry {
         |             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac
         |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "events_windowed_agg" ->
-      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
-        |       count(*) AS n,
+      """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS ws,
+        |       event_type, count(*) AS n,
         |       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "cluster_size_histogram" ->

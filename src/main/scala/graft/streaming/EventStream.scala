@@ -19,13 +19,28 @@ object EventStream {
     */
   def windowedAgg(spark: SparkSession, eventsDir: String): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    // the streaming file source wants a DIRECTORY of files; testdata tables
+    // are single parquet files — stage a symlink dir (zero copy)
+    val srcPath = java.nio.file.Paths.get(eventsDir)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(srcPath)) eventsDir
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(srcPath.getFileName.toString), srcPath)
+        d.toString
+      }
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
     val agg = stream
+      // parquet timestamps are NTZ; event-time processing needs TIMESTAMP
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).as("sum_value"))
-      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      // epoch seconds: timezone-free oracle comparison
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
     val name = s"events_win_${System.nanoTime()}"
     val q = agg.writeStream
       .outputMode("complete")
