@@ -17,6 +17,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // several shuffle stages here are byte-small but CPU-dense (bucket →
+      // pair generation, band grouping); default 1 MB min-partition coalesces
+      // them to a handful of tasks and serializes the stage — keep enough
+      // partitions for the cores instead
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -18,7 +18,12 @@ case class DedupConfig(
       * instead of all O(n²) pairs — skew guard for boilerplate bands. */
     maxBucket: Int = 64,
     /** SimHash Hamming-ball radius (block-probe pass). */
-    simhashMaxHamming: Int = 3) {
+    simhashMaxHamming: Int = 3,
+    /** SimHash probe blocks: key on every (k−d)-subset of k blocks —
+      * C(k, k−d) keys/doc of ~64·(k−d)/k bits. k=6, d=3 ⇒ 20 keys of ~32
+      * bits: chance collisions shrink 2^16× vs single 16-bit blocks (the
+      * quadratic-vs-linear candidate-stage difference at web scale). */
+    simhashBlocks: Int = 6) {
   require(numPerm % bands == 0, "bands must divide numPerm")
   def rows: Int = numPerm / bands
 }

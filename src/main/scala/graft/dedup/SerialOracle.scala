@@ -11,12 +11,14 @@ import graft.functions.Impl
   */
 object SerialOracle {
 
-  /** Must mirror the graft shingle kernel's normalization: lowercase +
+  /** Must mirror the graft shingle kernel's normalization: ASCII lowercase +
     * whitespace-run tokenization, k-word shingles.
     */
-  def shingleSet(text: String, k: Int): Array[Long] =
+  def shingleSet(text: String, k: Int): Array[Long] = {
+    val lowered = text.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
     Impl.shinglesFromWords(
-      Impl.wordHashes(text.toLowerCase.getBytes(java.nio.charset.StandardCharsets.UTF_8)), k)
+      Impl.wordHashes(lowered.getBytes(java.nio.charset.StandardCharsets.UTF_8)), k)
+  }
 
   /** All pairs (a < b) with exact Jaccard >= tau. Includes exact dups (J=1);
     * two empty shingle sets are identical content (J=1) — matches the

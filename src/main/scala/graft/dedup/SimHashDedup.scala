@@ -26,14 +26,18 @@ object SimHashDedup {
       .filter(col("_len") > 0)
       .drop("_len")
 
-  /** Candidate pairs (a < b) within Hamming distance cfg.simhashMaxHamming. */
+  /** Candidate pairs (a < b) within Hamming distance cfg.simhashMaxHamming.
+    * Keys are multi-block (Manku-style): pairs within the ball share ≥1 key;
+    * ~32-bit keys keep chance collisions (⇒ bucket sizes ⇒ pair-generation
+    * cost) linear where single 16-bit blocks go quadratic.
+    */
   def candidatePairs(fps: DataFrame, cfg: DedupConfig): DataFrame = {
     val blocks = fps.select(
       col("doc_id"), col("sim64"),
-      posexplode(array((0 until 4).map(i => gf.simhashBlock(col("sim64"), i)): _*))
-        .as(Seq("blk", "bv")))
+      explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks, cfg.simhashMaxHamming))
+        .as("bv"))
     val buckets = blocks
-      .groupBy(col("blk"), col("bv"))
+      .groupBy(col("bv"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sim64")))).as("ids"))
       .filter(size(col("ids")) > 1)
     // all pairs within bucket, capped like MinHashLSH (hot buckets → star)

@@ -174,6 +174,45 @@ object Impl {
     if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
   }
 
+  /** Zero-copy variant over UTF8String base memory with inline ASCII
+    * lowercasing — no per-doc text copies (a cached UTF8String points into
+    * the column buffer; `getBytes`/`toLowerCase` would each copy ~2 KB per
+    * doc, and in local mode allocation bandwidth is the scaling ceiling).
+    * Non-ASCII bytes pass through unchanged (normalization is pinned to
+    * ASCII case-folding; the serial oracle mirrors this).
+    */
+  def normWordHashes(s: UTF8String): Array[Long] = {
+    import org.apache.spark.unsafe.Platform
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    var buf = new Array[Long](64)
+    var m = 0
+    // reusable scratch for one lowercased word (words are short)
+    var word = new Array[Byte](32)
+    var i = 0
+    while (i < n) {
+      while (i < n && (Platform.getByte(base, off + i) & 0xff) <= 0x20) i += 1
+      val start = i
+      while (i < n && (Platform.getByte(base, off + i) & 0xff) > 0x20) i += 1
+      val len = i - start
+      if (len > 0) {
+        if (len > word.length) word = new Array[Byte](len)
+        var j = 0
+        while (j < len) {
+          var b = Platform.getByte(base, off + start + j)
+          if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+          word(j) = b
+          j += 1
+        }
+        if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m * 2)
+        buf(m) = murmurH1(word, 0, len, 0L)
+        m += 1
+      }
+    }
+    if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
+  }
+
   private final val SHINGLE_PRIME = 0x100000001b3L // FNV64 prime
 
   /** Combine k consecutive word hashes into one order-sensitive shingle hash. */
@@ -191,7 +230,7 @@ object Impl {
     * short docs still participate in dedup.
     */
   def shingles(text: UTF8String, k: Int): ArrayData = {
-    val words = wordHashes(text.toLowerCase.getBytes)
+    val words = normWordHashes(text)
     val out = shinglesFromWords(words, k)
     new GenericArrayData(out)
   }
@@ -203,7 +242,7 @@ object Impl {
     * duplicates of each other).
     */
   def contentKey64(text: UTF8String): Long = {
-    val words = wordHashes(text.toLowerCase.getBytes)
+    val words = normWordHashes(text)
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < words.length) { h = (h ^ words(i)) * SHINGLE_PRIME; i += 1 }
@@ -299,7 +338,7 @@ object Impl {
     * term-frequency weighted.
     */
   def simhash64(text: UTF8String): Long =
-    simhashFromWords(wordHashes(text.toLowerCase.getBytes))
+    simhashFromWords(normWordHashes(text))
 
   def simhashFromWords(words: Array[Long]): Long = {
     val counter = new Array[Int](64)
@@ -321,10 +360,51 @@ object Impl {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** 16-bit block `i` (0..3) of a simhash — Hamming-ball probing key: two
-    * fingerprints within distance d<=3 must agree on >=1 of 4 blocks.
+  /** 16-bit block `i` (0..3) of a simhash — the naive Hamming-ball probe key
+    * (kept for tests/queries; use [[simhashKeys]] at scale).
     */
   def simhashBlock(h: Long, i: Int): Int = ((h >>> (16 * i)) & 0xffffL).toInt
+
+  /** Multi-block Hamming probe keys (Manku/Jain/Sarma, WWW'07 style): split
+    * the 64-bit fingerprint into `k` blocks; two fingerprints within Hamming
+    * distance d agree on ≥ k−d whole blocks, so key on every (k−d)-subset of
+    * blocks. Key width ≈ 64·(k−d)/k bits ⇒ chance collisions shrink by 2^32
+    * vs a single 16-bit block — the difference between a linear and a
+    * quadratic candidate stage at 10¹² docs.
+    */
+  def simhashKeys(h: Long, k: Int, d: Int): ArrayData = {
+    val combos = blockCombos(k, d)
+    val out = new Array[Long](combos.length)
+    var c = 0
+    while (c < combos.length) {
+      val blocks = combos(c)
+      var key = 0xcbf29ce484222325L ^ c.toLong // combo index salt
+      var j = 0
+      while (j < blocks.length) {
+        val b = blocks(j)
+        val lo = (64 * b) / k
+        val hi = (64 * (b + 1)) / k
+        val width = hi - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        key = (key ^ ((h >>> lo) & mask)) * SHINGLE_PRIME
+        j += 1
+      }
+      out(c) = fmix64(key)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val comboCache = new ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
+
+  /** All (k−d)-subsets of {0..k−1}, lexicographic, cached. */
+  def blockCombos(k: Int, d: Int): Array[Array[Int]] =
+    comboCache.computeIfAbsent((k, d), { key: (Int, Int) =>
+      val (kk, dd) = key
+      val take = kk - dd
+      require(take >= 1 && take <= kk, s"invalid block combo ($kk, $dd)")
+      (0 until kk).combinations(take).map(_.toArray).toArray
+    })
 
   // ------------------------------------------------------- set similarities
 

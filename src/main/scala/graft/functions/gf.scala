@@ -42,9 +42,14 @@ object gf {
   /** Hamming distance between two long fingerprints. */
   def hamming(a: Column, b: Column): Column = c(HammingDist(x(a), x(b)))
 
-  /** 16-bit block i of a simhash fingerprint (Hamming-ball probe key). */
+  /** 16-bit block i of a simhash fingerprint (naive Hamming probe key). */
   def simhashBlock(h: Column, i: Int): Column =
     shiftrightunsigned(h, 16 * i).bitwiseAND(lit(0xffffL))
+
+  /** Multi-block Hamming probe keys (any pair within Hamming distance d
+    * shares ≥ 1 key) — the linear-at-scale probe.
+    */
+  def simhashKeys(h: Column, k: Int, d: Int): Column = c(SimHashKeys(x(h), k, d))
 
   /** Intersection size of two sorted distinct long-array columns. */
   def intersectSize(a: Column, b: Column): Column = c(IntersectSize(x(a), x(b)))

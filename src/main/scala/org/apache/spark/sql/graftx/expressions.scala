@@ -123,6 +123,18 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  /** Multi-block Hamming probe keys for a simhash (array<long>). */
+  case class SimHashKeys(child: Expression, k: Int, d: Int)
+      extends GraftUnary with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      Impl.simhashKeys(v.asInstanceOf[Long], k, d)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Impl.simhashKeys($c, $k, $d)")
+    override protected def withNewChildInternal(c: Expression): SimHashKeys = copy(child = c)
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   case class HammingDist(left: Expression, right: Expression)
       extends GraftBinary with ExpectsInputTypes {
@@ -279,6 +291,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_minhash") { a => MinHashSig(a(0), litInt(a(1)), litLong(a(2))) }
     reg("graft_bands") { a => BandHashes(a(0), litInt(a(1))) }
     reg("graft_simhash64") { a => SimHash64(a.head) }
+    reg("graft_simhash_keys") { a => SimHashKeys(a(0), litInt(a(1)), litInt(a(2))) }
     reg("graft_hamming") { a => HammingDist(a(0), a(1)) }
     reg("graft_intersect_size") { a => IntersectSize(a(0), a(1)) }
     reg("graft_jaccard") { a => JaccardSim(a(0), a(1)) }
