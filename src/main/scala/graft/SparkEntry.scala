@@ -72,7 +72,7 @@ object SparkEntry {
         pagesCorpus(s, dir).repartition(
           s.sparkContext.defaultParallelism,
           (col("doc_id") / graft.pages.PagesGen.GROUP).cast("long")),
-        minLen = 35)),
+        minLen = 60)),
 
     // incremental snapshot-over-snapshot dedup (checkpointed stages, resume)
     "pages_incremental_clusters" -> ((s, dir) => {

@@ -69,10 +69,22 @@ object LongRepeats {
       StructField("a", LongType, false), StructField("pa", IntegerType, false),
       StructField("b", LongType, false), StructField("pb", IntegerType, false)))
     val rdd = normDocs.select("doc_id", "t").rdd.mapPartitions { it =>
-      val docs = it.map(r => (r.getLong(0), r.getString(1)
+      val all = it.map(r => (r.getLong(0), r.getString(1)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
-      if (docs.length == 0) Iterator.empty
-      else {
+      // segment the partition so each SA build stays under MAX_N bytes
+      // (cross-segment repeats are the winnowing pass's job)
+      val segments = scala.collection.mutable.ArrayBuffer.empty[Array[(Long, Array[Byte])]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      var curBytes = 0L
+      for (d <- all if d._2.length + 1 < SuffixArray.MAX_N) {
+        if (curBytes + d._2.length + 1 > SuffixArray.MAX_N && cur.nonEmpty) {
+          segments += cur.toArray; cur = scala.collection.mutable.ArrayBuffer.empty
+          curBytes = 0L
+        }
+        cur += d; curBytes += d._2.length + 1
+      }
+      if (cur.nonEmpty) segments += cur.toArray
+      segments.iterator.flatMap { docs =>
         // concatenate with 0x00 separators (absent from normalized text)
         val total = docs.map(_._2.length).sum + docs.length
         val buf = new Array[Byte](total)

@@ -65,22 +65,18 @@ object MinHashLSH {
   }
 
   /** Verified near-dup pairs: (a, b, jac) with exact Jaccard >= cfg.tau.
-    * `estMargin` guards the estimate pre-filter (3.7σ at 128 perms).
+    * Ships ONLY the int shingle sets through the pair joins — the exact
+    * sorted-merge intersection on two ~300-int arrays is cheaper than
+    * shipping 1 KB signatures for an estimate pre-filter would be.
     */
-  def verifiedPairs(features: DataFrame, candidates: DataFrame, cfg: DedupConfig,
-                    estMargin: Double = 0.15): DataFrame = {
-    val fa = features.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val fb = features.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
-    val est = expr(
-      s"""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0,
-         |          (acc, v) -> acc + v) / ${cfg.numPerm}.0D""".stripMargin)
+  def verifiedPairs(features: DataFrame, candidates: DataFrame,
+                    cfg: DedupConfig): DataFrame = {
+    val fa = features.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+    val fb = features.select(col("doc_id").as("b"), col("sh").as("sh_b"))
     candidates
       .join(fa, "a")
       .join(fb, "b")
-      .withColumn("est", est)
-      .withColumn("jac",
-        when(col("est") >= cfg.tau - estMargin, gf.jaccard(col("sh_a"), col("sh_b")))
-          .otherwise(lit(0.0)))
+      .withColumn("jac", gf.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= cfg.tau)
       .select(col("a"), col("b"), col("jac"))
   }

@@ -14,7 +14,7 @@ object SerialOracle {
   /** Must mirror the graft shingle kernel's normalization: ASCII lowercase +
     * whitespace-run tokenization, k-word shingles.
     */
-  def shingleSet(text: String, k: Int): Array[Long] = {
+  def shingleSet(text: String, k: Int): Array[Int] = {
     val lowered = text.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
     Impl.shinglesFromWords(
       Impl.wordHashes(lowered.getBytes(java.nio.charset.StandardCharsets.UTF_8)), k)

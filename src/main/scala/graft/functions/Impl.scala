@@ -249,18 +249,23 @@ object Impl {
     fmix64(h)
   }
 
-  def shinglesFromWords(words: Array[Long], k: Int): Array[Long] = {
+  /** 32-bit shingle ids (top half of the 64-bit combine): halves every
+    * downstream cache/shuffle byte; in-doc collision odds at ~300 shingles
+    * are ~1e-5, and the serial oracle shares the identical ids so the recall
+    * gate stays apples-to-apples.
+    */
+  def shinglesFromWords(words: Array[Long], k: Int): Array[Int] = {
     val n = words.length
-    if (n == 0) return Array.emptyLongArray
+    if (n == 0) return Array.emptyIntArray
     val m = if (n < k) 1 else n - k + 1
     val kk = math.min(k, n)
-    val raw = new Array[Long](m)
+    val raw = new Array[Int](m)
     var i = 0
-    while (i < m) { raw(i) = combineShingle(words, i, kk); i += 1 }
+    while (i < m) { raw(i) = (combineShingle(words, i, kk) >>> 32).toInt; i += 1 }
     distinctSorted(raw)
   }
 
-  def distinctSorted(raw: Array[Long]): Array[Long] = {
+  def distinctSorted(raw: Array[Int]): Array[Int] = {
     java.util.Arrays.sort(raw)
     var w = 0
     var i = 0
@@ -290,15 +295,15 @@ object Impl {
     * band of any non-empty doc).
     */
   def minhash(shingleHashes: ArrayData, numPerm: Int, seed: Long): ArrayData =
-    new GenericArrayData(minhashArr(shingleHashes.toLongArray(), numPerm, seed))
+    new GenericArrayData(minhashArr(shingleHashes.toIntArray(), numPerm, seed))
 
-  def minhashArr(xs: Array[Long], numPerm: Int, seed: Long): Array[Long] = {
+  def minhashArr(xs: Array[Int], numPerm: Int, seed: Long): Array[Long] = {
     val seeds = permSeeds(numPerm, seed)
     val sig = new Array[Long](numPerm)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     while (i < xs.length) {
-      val x = xs(i)
+      val x = xs(i).toLong & 0xffffffffL
       var p = 0
       while (p < numPerm) {
         val v = fmix64(x ^ seeds(p))
@@ -408,11 +413,11 @@ object Impl {
 
   // ------------------------------------------------------- set similarities
 
-  /** |A ∩ B| for sorted distinct long arrays (the shingle sets). */
+  /** |A ∩ B| for sorted distinct int arrays (the shingle sets). */
   def intersectSize(a: ArrayData, b: ArrayData): Int =
-    intersectSizeArr(a.toLongArray(), b.toLongArray())
+    intersectSizeArr(a.toIntArray(), b.toIntArray())
 
-  def intersectSizeArr(a: Array[Long], b: Array[Long]): Int = {
+  def intersectSizeArr(a: Array[Int], b: Array[Int]): Int = {
     var i = 0; var j = 0; var n = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
@@ -422,11 +427,11 @@ object Impl {
     n
   }
 
-  /** Jaccard similarity of two sorted distinct shingle-hash sets. */
+  /** Jaccard similarity of two sorted distinct shingle-id sets. */
   def jaccard(a: ArrayData, b: ArrayData): Double =
-    jaccardArr(a.toLongArray(), b.toLongArray())
+    jaccardArr(a.toIntArray(), b.toIntArray())
 
-  def jaccardArr(a: Array[Long], b: Array[Long]): Double = {
+  def jaccardArr(a: Array[Int], b: Array[Int]): Double = {
     if (a.length == 0 && b.length == 0) return 1.0
     val inter = intersectSizeArr(a, b)
     inter.toDouble / (a.length + b.length - inter).toDouble

@@ -82,7 +82,7 @@ object exprs {
   case class Shingles(child: Expression, k: Int) extends GraftUnary with ExpectsInputTypes {
     require(k >= 1, "shingle size k must be >= 1")
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullSafeEval(v: Any): Any = Impl.shingles(v.asInstanceOf[UTF8String], k)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.functions.Impl.shingles($c, $k)")
@@ -92,7 +92,7 @@ object exprs {
   /** Batched MinHash signature (numPerm permutations, deterministic seed). */
   case class MinHashSig(child: Expression, numPerm: Int, seed: Long)
       extends GraftUnary with ExpectsInputTypes {
-    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       Impl.minhash(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerm, seed)
@@ -151,7 +151,7 @@ object exprs {
   /** |A ∩ B| of two sorted distinct long arrays. */
   case class IntersectSize(left: Expression, right: Expression)
       extends GraftBinary with ExpectsInputTypes {
-    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
     override def dataType: DataType = IntegerType
     override def nullSafeEval(a: Any, b: Any): Any =
       Impl.intersectSize(
@@ -166,7 +166,7 @@ object exprs {
   /** Jaccard similarity of two sorted distinct shingle sets. */
   case class JaccardSim(left: Expression, right: Expression)
       extends GraftBinary with ExpectsInputTypes {
-    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       Impl.jaccard(
