@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that keep the engine fast at
+  * 100 TB must hold structurally, not accidentally — assert them.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // run so AQE finalizes
+    df.queryExecution.executedPlan
+  }
+
+  test("parquet scan: filters push down and columns prune") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), length(col("text")).as("l"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed:\n$scan")
+    // html/source/n_chars never read
+    assert(scan.contains("ReadSchema") && !scan.contains("n_chars"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("exact-top-k: query side broadcasts (corpus never shuffles)") {
+    val plan = executed(SparkEntry.queries("ann_topk_exact")(spark, sfDir)).toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast in:\n$plan")
+  }
+
+  test("graft expressions run inside WholeStageCodegen in the features plan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feats = graft.dedup.MinHashLSH.features(docs, graft.dedup.DedupConfig())
+    val wsc = feats.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, s"no codegen span:\n${feats.queryExecution.executedPlan}")
+    val codegenStr = wsc.map(_.toString).mkString
+    assert(codegenStr.contains("shingles") && codegenStr.contains("minhashsig"),
+      "shingle/minhash expressions fell out of the codegen span")
+  }
+
+  test("exact dedup election is one shuffle over narrow rows") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.dedup.ExactDedup.assignments(docs)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange (the window partitionBy) and no join
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+}
