@@ -40,16 +40,22 @@ object MinHashLSH {
         gf.shingles(col(textCol), cfg.shingleK).as("sh")) // kernel normalizes
       .withColumn("sig", gf.minhash(col("sh"), cfg.numPerm, cfg.seed))
 
-  /** Candidate pairs (a < b) from LSH band buckets. */
-  def candidatePairs(features: DataFrame, cfg: DedupConfig): DataFrame = {
-    val exploded = features
-      .select(col("doc_id"), posexplode(gf.bands(col("sig"), cfg.bands)).as(Seq("band", "bh")))
-    // Hash-shuffle on the band key — the explicit repartition the reference
-    // never needs (rank-local dedup, dedup_files_mpi.cpp:53-65); we must go
-    // global for recall. AQE re-coalesces the tail.
-    val buckets = exploded
-      .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  /** (key, doc_id) LSH probe rows — the band index is already folded into
+    * each band hash, so the bare 64-bit key is the grouping key.
+    */
+  def bandKeyRows(features: DataFrame, cfg: DedupConfig): DataFrame =
+    features.select(col("doc_id"), explode(gf.bands(col("sig"), cfg.bands)).as("key"))
+
+  /** Candidate pairs (a < b) from bucketed probe keys — shared by every
+    * candidate source (LSH bands, SimHash block keys): one hash-shuffle on
+    * the key — the explicit global exchange the reference never needs
+    * (rank-local dedup, dedup_files_mpi.cpp:53-65) — one bucket aggregation,
+    * one distinct. Buckets beyond `maxBucket` emit star edges (linear).
+    */
+  def pairsFromKeyRows(keyRows: DataFrame, cfg: DedupConfig): DataFrame = {
+    val buckets = keyRows
+      .groupBy(col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairsExpr =
       s"""CASE WHEN size(ids) <= ${cfg.maxBucket} THEN
@@ -63,6 +69,10 @@ object MinHashLSH {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
+
+  /** Candidate pairs (a < b) from LSH band buckets. */
+  def candidatePairs(features: DataFrame, cfg: DedupConfig): DataFrame =
+    pairsFromKeyRows(bandKeyRows(features, cfg), cfg)
 
   /** Verified near-dup pairs: (a, b, jac) with exact Jaccard >= cfg.tau.
     * Ships ONLY the int shingle sets through the pair joins — the exact

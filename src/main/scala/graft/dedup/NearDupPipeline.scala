@@ -34,13 +34,18 @@ object NearDupPipeline {
       exact.filter(col("doc_id") === col("rep")).select(col("doc_id").as(idCol)),
       Seq(idCol))
 
-    // 2+3. candidate generation on distinct-content representatives only
+    // 2+3. candidate generation on distinct-content representatives only.
+    // Both probe sources emit salted 64-bit (key, doc_id) rows, unioned
+    // BEFORE the bucket aggregation: one shuffle + one distinct for all
+    // candidate generation instead of two of each.
     val feats = MinHashLSH.features(reps, cfg, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lshCand = MinHashLSH.candidatePairs(feats, cfg)
-    val cand =
-      if (useSimhash) lshCand.union(SimHashDedup.hammingPairs(reps, cfg, idCol, textCol)).distinct()
-      else lshCand
+    val keyRows =
+      if (useSimhash)
+        MinHashLSH.bandKeyRows(feats, cfg).union(
+          SimHashDedup.keyRows(SimHashDedup.fingerprints(reps, idCol, textCol), cfg))
+      else MinHashLSH.bandKeyRows(feats, cfg)
+    val cand = MinHashLSH.pairsFromKeyRows(keyRows, cfg)
 
     // 4. one verifier for all candidate sources
     val pairs = MinHashLSH.verifiedPairs(feats, cand, cfg)

@@ -26,36 +26,26 @@ object SimHashDedup {
       .filter(col("_len") > 0)
       .drop("_len")
 
-  /** Candidate pairs (a < b) within Hamming distance cfg.simhashMaxHamming.
-    * Keys are multi-block (Manku-style): pairs within the ball share ≥1 key;
-    * ~32-bit keys keep chance collisions (⇒ bucket sizes ⇒ pair-generation
-    * cost) linear where single 16-bit blocks go quadratic.
+  /** (key, doc_id) probe rows from the multi-block keys (Manku-style): pairs
+    * within the Hamming ball share ≥1 key; ~32-bit keys keep chance
+    * collisions (⇒ bucket sizes ⇒ pair-generation cost) linear where single
+    * 16-bit blocks go quadratic. Feed into MinHashLSH.pairsFromKeyRows —
+    * in the pipeline these rows UNION with the band rows so both candidate
+    * sources share one shuffle + one bucket aggregation.
     */
-  def candidatePairs(fps: DataFrame, cfg: DedupConfig): DataFrame = {
-    val blocks = fps.select(
-      col("doc_id"), col("sim64"),
+  def keyRows(fps: DataFrame, cfg: DedupConfig): DataFrame =
+    fps.select(col("doc_id"),
       explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks, cfg.simhashMaxHamming))
-        .as("bv"))
-    val buckets = blocks
-      .groupBy(col("bv"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim64")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    // all pairs within bucket, capped like MinHashLSH (hot buckets → star)
-    val pairsExpr =
-      s"""CASE WHEN size(ids) <= ${cfg.maxBucket} THEN
-         |  flatten(transform(ids, (x, i) ->
-         |    transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS pa, y AS pb))))
-         |ELSE
-         |  transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS pa, y AS pb))
-         |END""".stripMargin
-    buckets
-      .select(explode(expr(pairsExpr)).as("p"))
-      .select(
-        col("p.pa.doc_id").as("a"), col("p.pb.doc_id").as("b"),
-        gf.hamming(col("p.pa.sim64"), col("p.pb.sim64")).as("hdist"))
-      .filter(col("hdist") <= cfg.simhashMaxHamming)
+        .as("key"))
+
+  /** Candidate pairs (a < b) within Hamming distance cfg.simhashMaxHamming. */
+  def candidatePairs(fps: DataFrame, cfg: DedupConfig): DataFrame = {
+    val cand = MinHashLSH.pairsFromKeyRows(keyRows(fps, cfg), cfg)
+    val fa = fps.select(col("doc_id").as("a"), col("sim64").as("sim_a"))
+    val fb = fps.select(col("doc_id").as("b"), col("sim64").as("sim_b"))
+    cand.join(fa, "a").join(fb, "b")
+      .filter(gf.hamming(col("sim_a"), col("sim_b")) <= cfg.simhashMaxHamming)
       .select(col("a"), col("b"))
-      .distinct()
   }
 
   /** Full pass: docs → Hamming-ball candidate pairs (a < b, distinct). */
