@@ -44,7 +44,14 @@ object ChunkDedup {
       numShiftDupl: Long,     // count of shifted-duplicate region roots
       firstLeaves: DataFrame, // (pos, chunk) bytes stored in the incremental chkpt
       shiftLeafMap: DataFrame // (pos, src_chkpt, src_pos) duplicate metadata
-  )
+  ) {
+    /** Distinct prior checkpoints this incremental references — the
+      * reference's `chkpts_needed` bitset (F4, list_approach.cpp:98-110)
+      * as a `distinct` aggregate; drives restart-scan pruning.
+      */
+    def referencedCheckpoints: DataFrame =
+      shiftLeafMap.select("src_chkpt").distinct()
+  }
 
   @inline private def level(i: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(i + 1)
 

@@ -47,6 +47,19 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("referencedCheckpoints (F4 chkpts_needed): shift sources pruned to actual refs") {
+    // case 04: all shifted regions source from checkpoint 0
+    val c1 = new ChunkDedup.Chain(spark, 8L)
+    c1.checkpoint(ChunkDedup.chunkify(spark, "ABCDEFGH", 1))
+    val r1 = c1.checkpoint(ChunkDedup.chunkify(spark, "IJABCDEK", 1))
+    assert(r1.referencedCheckpoints.collect().map(_.getInt(0)).toSet == Set(0))
+    // case 10: shifted leaves source from in-checkpoint winners (chkpt 1)
+    val c2 = new ChunkDedup.Chain(spark, 8L)
+    c2.checkpoint(ChunkDedup.chunkify(spark, "MNXYOPQR", 1))
+    val r2 = c2.checkpoint(ChunkDedup.chunkify(spark, "IJXYIJJI", 1))
+    assert(r2.referencedCheckpoints.collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
   test("ragged (non-power-of-two) chunk counts roundtrip") {
     val step0 = "ABCDEFGHIJK" // 11 chunks
     val step1 = "ABCXYFGHIJK"
