@@ -183,6 +183,11 @@ object SparkEntry {
     "events_windowed_agg" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAgg(s, s"$dir/events.parquet")),
 
+    // Typed per-key custom state logic (KeyValueGroupedDataset.flatMapGroups):
+    // gap-based sessionization of the events stream table.
+    "events_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionize(s, s"$dir/events.parquet", 30)),
+
     // A5-style histogram: exact-dup cluster size → count of clusters.
     "cluster_size_histogram" -> ((s, dir) =>
       docs(s, dir)
@@ -238,6 +243,17 @@ object SparkEntry {
 
     // Text analysis: whitespace/BPE-estimate/distinct token counts.
     "token_stats_ext" -> ((s, dir) => graft.text.TextAnalysis.tokenStats(docs(s, dir))),
+
+    // Typed Aggregator (§2.11): per-source distinct-shingle estimate via
+    // MinHash signature union (partial+final agg, no set materialization) —
+    // rows-only (sketch estimate; exactness asserted in tests vs oracle).
+    "source_distinct_shingles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val feats = d.select(col("source"),
+        gf.minhash(gf.shingles(col("text"), 5), 128, 42L).as("sig"))
+      feats.groupBy("source")
+        .agg(graft.functions.MinHashUnionAgg.estimateDistinct(col("sig")).as("est_distinct"))
+    }),
 
     // Document fingerprints (rolling 64-bit + murmur128 hex) — rows-only.
     "text_fingerprints" -> ((s, dir) => graft.text.TextAnalysis.fingerprints(docs(s, dir))),
@@ -340,6 +356,21 @@ object SparkEntry {
       """SELECT sz, count(*) AS n_clusters FROM
         |  (SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY 1)
         |GROUP BY sz""".stripMargin,
+    "events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(us) AS session_start_us,
+        |       count(*) AS n_events,
+        |       max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "q3_join_agg" ->
       """SELECT c_mktsegment,
         |       sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,

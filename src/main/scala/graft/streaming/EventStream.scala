@@ -51,4 +51,41 @@ object EventStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Gap-based sessionization via the typed KeyValueGroupedDataset API
+    * (per-user custom state logic the built-in window functions can't
+    * express as one operator): events within `gapMinutes` of the previous
+    * event share a session. Deterministic (sort within group), one shuffle
+    * on user_id.
+    */
+  def sessionize(spark: SparkSession, eventsDir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    // integer microseconds end to end (timestamps carry µs precision;
+    // second-level rounding would diverge from the oracle)
+    val events = spark.read.parquet(eventsDir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long)]
+    val gapUs = gapMinutes * 60000000L
+    events.groupByKey(_._1)
+      .flatMapGroups { (user: Long, it: Iterator[(Long, Long)]) =>
+        val times = it.map(_._2).toArray.sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = times(0)
+        var last = times(0)
+        var n = 1L
+        var i = 1
+        while (i < times.length) {
+          if (times(i) - last > gapUs) {
+            out += ((user, start, n, last - start))
+            start = times(i); n = 0L
+          }
+          last = times(i); n += 1
+          i += 1
+        }
+        out += ((user, start, n, last - start))
+        out.iterator
+      }
+      .toDF("user_id", "session_start_us", "n_events", "duration_us")
+  }
 }
