@@ -108,7 +108,17 @@ object LongRepeats {
         }
         val sa = SuffixArray.build(buf)
         val lcp = SuffixArray.kasai(buf, sa)
-        (0 until lcp.length).iterator.filter(lcp(_) >= minLen).flatMap { i =>
+        (0 until lcp.length).iterator.filter { i =>
+          // left-maximality: inside a shared region of length L every one of
+          // its L suffix pairs is SA-adjacent with lcp >= minLen — emitting
+          // all of them makes the verify join quadratic in region length.
+          // Keep only pairs whose preceding bytes differ (region starts);
+          // the extender re-derives the full span from that single anchor.
+          lcp(i) >= minLen && {
+            val x = sa(i); val y = sa(i + 1)
+            x == 0 || y == 0 || buf(x - 1) != buf(y - 1)
+          }
+        }.flatMap { i =>
           val (d1, p1) = locate(sa(i))
           val (d2, p2) = locate(sa(i + 1))
           // lcp may cross a separator only if one suffix starts with it — the
