@@ -169,13 +169,16 @@ object SparkEntry {
     }),
 
     // A2-style global agg on TPC-H lineitem (generic engine coverage);
-    // decimal cast keeps the sums exact ⇒ order-independent.
+    // decimal cast keeps the sums exact ⇒ order-independent. Final results go
+    // out as DOUBLE: a decimal output column round-trips through parquet as
+    // decimal.Decimal objects on the compare side while the DuckDB oracle
+    // yields float64 — identical values, different dtype, hash mismatch.
     "q1_lineitem_agg" -> ((s, dir) =>
       lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           count(lit(1)).as("n"))),
 
     // Structured Streaming: windowed agg + watermark over the events table,
@@ -205,7 +208,7 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).as("revenue"),
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     }),
 
@@ -221,19 +224,12 @@ object SparkEntry {
     }),
 
     // Similarity search: exact brute-force cosine top-k (baseline path).
-    "ann_topk_exact" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val sims = q.join(broadcast(e.select(col("vec_id").as("nbr"), col("embedding").as("nv"))),
-          col("nbr") =!= col("qid"))
-        .select(col("qid"), col("nbr"),
-          round(gf.cosine(col("qv"), col("nv")), 6).as("sim"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr").asc)
-      sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("qid"), col("nbr"), col("sim"), col("rk").cast("long").as("rk"))
-    }),
+    // Uses the library operator, which broadcasts the SMALL query side and
+    // streams the corpus — the orientation that survives a 100× corpus.
+    "ann_topk_exact" -> ((s, dir) =>
+      graft.sim.Ann.exactTopK(emb(s, dir), 0L until 20L, 5)
+        .select(col("qid"), col("nbr"), col("sim"),
+          col("rk").cast("long").as("rk"))),
 
     // Text analysis: language-ID marker heuristic (deterministic argmax).
     "lang_id" -> ((s, dir) => graft.text.TextAnalysis.langId(docs(s, dir))),
@@ -341,8 +337,13 @@ object SparkEntry {
         |  (SELECT (doc_id - 1) // 2 AS pos, md5(text) AS h1 FROM documents WHERE doc_id % 2 = 1) b
         |  USING (pos)
         |WHERE a.h0 <> b.h1""".stripMargin,
+    // tokenization mirrors the kernel exactly: ASCII-lowercase + whitespace-run
+    // split + empty-token filter (not single-space split, which would diverge
+    // on multi-space or uppercase documents)
     "jaccard_adjacent" ->
-      """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+      """WITH w AS (SELECT doc_id,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS ws
+        |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       round(len(list_intersect(a.ws, b.ws)) * 1.0 /
         |             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac
@@ -350,7 +351,7 @@ object SparkEntry {
     "events_windowed_agg" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n,
-        |       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "cluster_size_histogram" ->
       """SELECT sz, count(*) AS n_clusters FROM
@@ -373,7 +374,7 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, sid""".stripMargin,
     "q3_join_agg" ->
       """SELECT c_mktsegment,
-        |       sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       count(DISTINCT o_orderkey) AS n_orders
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |              JOIN lineitem ON o_orderkey = l_orderkey
@@ -386,8 +387,8 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "ann_topk_exact" ->

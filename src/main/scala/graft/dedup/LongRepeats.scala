@@ -114,9 +114,15 @@ object LongRepeats {
           // all of them makes the verify join quadratic in region length.
           // Keep only pairs whose preceding bytes differ (region starts);
           // the extender re-derives the full span from that single anchor.
+          // A preceding 0x00 separator is a region START, not a shared byte:
+          // two doc-start-aligned suffixes are both preceded by separators
+          // (which compare equal) yet cannot extend left — dropping them
+          // would silently miss doc-start repeats (e.g. shared boilerplate
+          // headers).
           lcp(i) >= minLen && {
             val x = sa(i); val y = sa(i + 1)
-            x == 0 || y == 0 || buf(x - 1) != buf(y - 1)
+            x == 0 || y == 0 || buf(x - 1) == 0 || buf(y - 1) == 0 ||
+              buf(x - 1) != buf(y - 1)
           }
         }.flatMap { i =>
           val (d1, p1) = locate(sa(i))

@@ -81,7 +81,9 @@ object Multimodal {
     StructField("width", IntegerType, false),
     StructField("height", IntegerType, false),
     StructField("channels", IntegerType, false),
-    StructField("hist", ArrayType(IntegerType, false), false),
+    // canonical CSV string, not array<int>: array columns are unhashable /
+    // unsortable in the pandas-based compare harness
+    StructField("hist", StringType, false),
     StructField("n_frames", IntegerType, false),
     StructField("batch_size_seen", IntegerType, false)))
 
@@ -100,7 +102,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](2)
           val (w, h, c, hist) = decodeImageStub(bytes)
           val frames = if (kind == "video") frameSampleStub(bytes, 4).length else 0
-          Row(id, kind, w, h, c, hist.toSeq, frames, bs)
+          Row(id, kind, w, h, c, hist.mkString(","), frames, bs)
         }
       }
     }

@@ -37,7 +37,10 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        // exact decimal accumulation, DOUBLE on the wire: decimal output
+        // columns surface as decimal.Decimal objects on the compare side
+        // while the oracle yields float64 — same values, dtype hash mismatch
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       // epoch seconds: timezone-free oracle comparison
       .select(unix_timestamp(col("window.start")).as("ws"),
         col("event_type"), col("n"), col("sum_value"))

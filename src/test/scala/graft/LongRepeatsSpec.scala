@@ -69,6 +69,31 @@ class LongRepeatsSpec extends AnyFunSuite with SparkTestBase {
     // this 28-char repeat — that gap is exactly why the SA pass exists
   }
 
+  test("SA pass: doc-START-aligned shared prefixes are detected mid-partition") {
+    // Both suffixes of a shared doc-start prefix are preceded by the 0x00
+    // separator, which compares EQUAL — a left-maximality test that only
+    // compares preceding bytes drops the anchor and silently misses the
+    // repeat (e.g. shared per-host boilerplate headers). Three docs sharing
+    // the prefix guarantee at least one pair sits fully mid-buffer.
+    val prefix = "identical host boilerplate header shared verbatim across pages "
+    val docs = mkDocs(
+      20L -> (prefix + filler1),
+      21L -> (prefix + filler2),
+      22L -> (prefix + (0 until 40).map(i => s"gamma$i").mkString(" "))).repartition(1)
+    val got = LongRepeats.repeatsWithinPartitions(docs, minLen = 40).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SA adjacency yields a spanning path over the m sharers (m-1 pairs), not
+    // the full clique: suffixes sort 20 ("...alpha") < 21 ("...beta") <
+    // 22 ("...gamma"). Pre-fix, only the pair touching buffer offset 0
+    // survived (the other anchors were dropped as "non-left-maximal" because
+    // both preceding bytes are the 0x00 separator).
+    assert(pairs == Set((20L, 21L), (21L, 22L)), s"got $pairs")
+    got.foreach { r =>
+      assert(r.getInt(2) == 0 && r.getInt(3) == 0) // spans anchored at doc start
+      assert(r.getInt(4) >= prefix.trim.length)
+    }
+  }
+
   test("in-doc repeats are reported once with distinct positions") {
     val block = "repeated internal template block number " + ("x7 " * 10)
     val docs = mkDocs(5L -> (filler1 + block + filler2 + block + " tail"))

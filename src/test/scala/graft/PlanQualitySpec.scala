@@ -29,9 +29,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("exact-top-k: query side broadcasts (corpus never shuffles)") {
-    val plan = executed(SparkEntry.queries("ann_topk_exact")(spark, sfDir)).toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      s"no broadcast in:\n$plan")
+    val plan = executed(SparkEntry.queries("ann_topk_exact")(spark, sfDir))
+    // descend through AQE wrappers — AdaptiveSparkPlanExec and QueryStageExec
+    // hold their subtree in a field, not in `children`, so a bare collect
+    // sees none of the physical tree
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val broadcasts = flatten(plan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b.toString
+    }
+    assert(broadcasts.nonEmpty, s"no broadcast exchange in:\n$plan")
+    // the broadcast subtree must be the 20-row QUERY side (vec_id IN 0..19
+    // filter inside it), never the corpus — corpus-side broadcast OOMs the
+    // driver at 100× scale
+    broadcasts.foreach { sub =>
+      assert(sub.contains("INSET") && sub.contains("vec_id"),
+        s"broadcast side is not the filtered query side:\n$sub")
+    }
   }
 
   test("graft expressions run inside WholeStageCodegen in the features plan") {

@@ -47,11 +47,14 @@ class TextMultimodalAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.count(_.getInt(7) == 32) > 0, "expected at least one full batch")
     // histogram is a real function of the bytes: 16 bins summing to byte count
     val r0 = rows.find(_.getLong(0) == 0L).get
-    assert(r0.getSeq[Int](5).length == 16)
+    val bins = r0.getString(5).split(",")
+    assert(bins.length == 16)
+    val bytes0 = media.filter(col("asset_id") === 0L).collect().head.getAs[Array[Byte]]("bytes")
+    assert(bins.map(_.toInt).sum == bytes0.length)
     // deterministic across runs
     val again = Multimodal.decodeFeatures(media, batchSize = 32).collect()
       .find(_.getLong(0) == 0L).get
-    assert(again.getSeq[Int](5) == r0.getSeq[Int](5))
+    assert(again.getString(5) == r0.getString(5))
     // videos get frame samples, images/audio don't
     rows.foreach { r =>
       if (r.getString(1) == "video") assert(r.getInt(6) == 4) else assert(r.getInt(6) == 0)
