@@ -31,6 +31,19 @@ object SparkEntry {
     graft.pages.PagesGen.pages(s, pagesN(dir), seed = 42L,
       partitions = s.sparkContext.defaultParallelism * 2)
 
+  /** Dump a DataFrame to a deterministic path once, so the DuckDB oracle can
+    * read the same input the query consumed (the synthesized corpus is not
+    * part of the driver-provided testdata). Contents are pure functions of
+    * (seed, n), so an existing dump is trusted as-is.
+    */
+  private def dumpOnce(df: => DataFrame, path: String): Unit = this.synchronized {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      df.write.mode("overwrite").parquet(path)
+  }
+
+  private def oraclePagesPath(dir: String): String =
+    s"/tmp/graft_oracle/pages_n${pagesN(dir)}_s42"
+
   /** Flagship: the full near-dup detection + clustering pipeline (north_rule)
     * on the synthesized Common-Crawl-style corpus.
     */
@@ -39,22 +52,33 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------- north_rule flagship: synthesized webtext corpus ---------
-    // (generated tables — no DuckDB oracle; correctness gated by the
-    // ScalaTest serial-oracle recall suite instead)
+    // (the corpus is dumped once to /tmp/graft_oracle so the DuckDB oracle
+    // recomputes the dedup independently from the same input; the ScalaTest
+    // serial-oracle recall suite additionally gates the probabilistic parts)
 
     // full pipeline: exact + MinHash/LSH + SimHash → CC cluster assignments
-    "pages_neardup_clusters" -> ((s, dir) =>
-      graft.dedup.NearDupPipeline.run(s, pagesCorpus(s, dir),
-        graft.dedup.DedupConfig()).assignments),
+    "pages_neardup_clusters" -> ((s, dir) => {
+      val corpus = pagesCorpus(s, dir)
+      dumpOnce(corpus.select("doc_id", "text"), oraclePagesPath(dir))
+      graft.dedup.NearDupPipeline.run(s, corpus,
+        graft.dedup.DedupConfig()).assignments
+    }),
 
     // verified near-dup pairs (a, b, exact jaccard)
-    "pages_neardup_pairs" -> ((s, dir) =>
-      graft.dedup.NearDupPipeline.run(s, pagesCorpus(s, dir),
-        graft.dedup.DedupConfig()).pairs),
+    "pages_neardup_pairs" -> ((s, dir) => {
+      val corpus = pagesCorpus(s, dir)
+      dumpOnce(corpus.select("doc_id", "text"), oraclePagesPath(dir))
+      graft.dedup.NearDupPipeline.run(s, corpus,
+        graft.dedup.DedupConfig()).pairs
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+    }),
 
     // exact-dup assignments over the pages corpus
-    "pages_exact_dedup" -> ((s, dir) =>
-      graft.dedup.ExactDedup.assignments(pagesCorpus(s, dir))),
+    "pages_exact_dedup" -> ((s, dir) => {
+      val corpus = pagesCorpus(s, dir)
+      dumpOnce(corpus.select("doc_id", "text"), oraclePagesPath(dir))
+      graft.dedup.ExactDedup.assignments(corpus).select("doc_id", "rep")
+    }),
 
     // SimHash Hamming-ball candidate pairs
     "pages_simhash_pairs" -> ((s, dir) =>
@@ -88,6 +112,10 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
           concat(col("text"), lit(" fresh revision tokens zz1 zz2 zz3")))
           .otherwise(col("text")))
+      dumpOnce(
+        snap0.select(lit(0).as("snap"), col("doc_id"), col("text")).unionByName(
+          snap1.select(lit(1).as("snap"), col("doc_id"), col("text"))),
+        s"/tmp/graft_oracle/inc_n${n}_s42")
       inc.processSnapshot(0, snap0)
       inc.processSnapshot(1, snap1)
     }),
@@ -98,8 +126,11 @@ object SparkEntry {
     "chunk_dedup_labels" -> ((s, dir) => {
       val texts = docs(s, dir).orderBy("doc_id").limit(2)
         .select("text").collect().map(_.getString(0))
-      val step0 = texts(0).take(256)
-      val step1 = (texts(0).take(128) + texts(1)).take(256)
+      // both checkpoints must have the SAME chunk count (the reference's
+      // fixed data_len): cap at what both derivations can supply
+      val len = math.min(256, math.min(texts(0).length, 128 + texts(1).length))
+      val step0 = texts(0).take(len)
+      val step1 = (texts(0).take(128) + texts(1)).take(len)
       val chain = new graft.dedup.ChunkDedup.Chain(s, step0.length.toLong)
       chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step0, 1))
       chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step1, 1)).labels
@@ -279,7 +310,114 @@ object SparkEntry {
     })
   )
 
+  // ---- DuckDB oracle fragments for the synthesized corpora ----------------
+  // The oracle recomputes dedup independently in SQL from the dumped corpus:
+  // tokenization mirrors the kernel (ASCII lowercase, whitespace-run split,
+  // empty-token filter); k=5 shingles with the whole-sequence fallback for
+  // docs shorter than k words (Impl.shinglesFromWords).
+  private val pagesGlob = "read_parquet('/tmp/graft_oracle/pages_n2000_s42/*.parquet')"
+  private val incGlob = "read_parquet('/tmp/graft_oracle/inc_n1000_s42/*.parquet')"
+  private def toksSql(t: String): String =
+    s"list_filter(string_split_regex(lower($t), '\\s+'), x -> x <> '')"
+  // normalized text; DuckDB's array_to_string of an empty list is NULL, and
+  // NULL never equi-joins — empty docs must normalize to '' instead
+  private def ntSql(t: String): String =
+    s"coalesce(array_to_string(${toksSql(t)}, ' '), '')"
+  // over a `toks` list column
+  private val shingleSql: String =
+    "CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')] " +
+      "ELSE list_distinct(list_transform(range(1, len(toks) - 3), " +
+      "i -> array_to_string(toks[i:i+4], ' '))) END"
+  /** all-pairs J≥τ near-dup pairs over a (id, s) shingle-set CTE named `sh`
+    * (size-ratio prefilter keeps the quadratic candidate join cheap:
+    * J ≥ τ ⇒ min(|A|,|B|) ≥ τ·max(|A|,|B|)).
+    */
+  private def nearPairsSql(idA: String = "a", idB: String = "b"): String =
+    s"""SELECT $idA, $idB, isz, la, lb FROM (
+       |  SELECT a.id AS $idA, b.id AS $idB, len(list_intersect(a.s, b.s)) AS isz,
+       |         len(a.s) AS la, len(b.s) AS lb
+       |  FROM sh a JOIN sh b
+       |    ON a.id < b.id
+       |   AND least(len(a.s), len(b.s)) >= 0.7 * greatest(len(a.s), len(b.s)))
+       |WHERE isz * 1.0 / (la + lb - isz) >= 0.7""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "pages_exact_dedup" ->
+      s"""WITH p AS (SELECT doc_id, ${ntSql("text")} AS nt FROM $pagesGlob)
+         |SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS rep FROM p""".stripMargin,
+    "pages_neardup_pairs" ->
+      s"""WITH p AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $pagesGlob),
+         |a0 AS (SELECT doc_id, toks,
+         |         min(doc_id) OVER (PARTITION BY array_to_string(toks, ' ')) AS rep FROM p),
+         |sh AS (SELECT doc_id AS id, $shingleSql AS s FROM a0
+         |       WHERE doc_id = rep AND len(toks) > 0)
+         |SELECT a, b, round(isz * 1.0 / (la + lb - isz), 6) AS jac
+         |FROM (${nearPairsSql()})""".stripMargin,
+    "pages_neardup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $pagesGlob),
+         |a0 AS (SELECT doc_id, toks,
+         |         min(doc_id) OVER (PARTITION BY array_to_string(toks, ' ')) AS rep FROM p),
+         |sh AS (SELECT doc_id AS id, $shingleSql AS s FROM a0
+         |       WHERE doc_id = rep AND len(toks) > 0),
+         |near AS (SELECT a, b FROM (${nearPairsSql()})),
+         |e0 AS (SELECT rep AS a, doc_id AS b FROM a0 WHERE doc_id <> rep
+         |       UNION ALL SELECT a, b FROM near),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM p
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // pure-SQL replay of the tree leaf labeling (chunk size 1, two steps):
+    // FIXED = same char at same position vs step0; SHIFT = char seen in step0
+    // (the checkpoint-0 distinct map holds every distinct step0 char) or a
+    // repeat of a fresh char at a lower position; FIRST = lowest position of
+    // a fresh char. node = pos + (numChunks - 1) (leaf base of the complete
+    // binary tree). Mirrors /root/reference/src/tree_approach.cpp:326-348.
+    "chunk_dedup_labels" ->
+      """WITH t AS (
+        |  SELECT any_value(CASE WHEN doc_id = 0 THEN text END) AS t0,
+        |         any_value(CASE WHEN doc_id = 1 THEN text END) AS t1
+        |  FROM documents WHERE doc_id IN (0, 1)),
+        |steps AS (
+        |  SELECT substr(t0, 1, CAST(least(256, length(t0), 128 + length(t1)) AS INT)) AS s0,
+        |         substr(substr(t0, 1, 128) || t1, 1,
+        |                CAST(least(256, length(t0), 128 + length(t1)) AS INT)) AS s1
+        |  FROM t),
+        |c AS (SELECT i, substr(s0, CAST(i AS INT), 1) AS ch0,
+        |             substr(s1, CAST(i AS INT), 1) AS ch1, length(s0) AS n
+        |      FROM steps, generate_series(1, 256) AS g(i) WHERE i <= length(s0)),
+        |lab AS (
+        |  SELECT i, ch1, n,
+        |    CASE WHEN ch1 = ch0 THEN 'FIXED_DUPL'
+        |         WHEN ch1 IN (SELECT DISTINCT ch0 FROM c) THEN 'SHIFT_DUPL'
+        |         ELSE NULL END AS base
+        |  FROM c),
+        |fresh AS (SELECT i, n, min(i) OVER (PARTITION BY ch1) AS w
+        |          FROM lab WHERE base IS NULL)
+        |SELECT i + n - 2 AS node, base AS label FROM lab WHERE base IS NOT NULL
+        |UNION ALL
+        |SELECT i + n - 2 AS node,
+        |       CASE WHEN i = w THEN 'FIRST_OCUR' ELSE 'SHIFT_DUPL' END AS label
+        |FROM fresh""".stripMargin,
+    "pages_incremental_clusters" ->
+      s"""WITH RECURSIVE
+         |pn AS (SELECT snap, doc_id, ${ntSql("text")} AS nt FROM $incGlob),
+         |contents AS (SELECT nt, min(doc_id) AS cid FROM pn GROUP BY nt),
+         |ctoks AS (SELECT cid, string_split(nt, ' ') AS toks FROM contents WHERE nt <> ''),
+         |sh AS (SELECT cid AS id, $shingleSql AS s FROM ctoks),
+         |near AS (SELECT a, b FROM (${nearPairsSql()})),
+         |edges AS (SELECT a, b FROM near UNION SELECT b AS a, a AS b FROM near),
+         |reach(id, lbl) AS (
+         |  SELECT cid, cid FROM contents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         |ccl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         |SELECT d.doc_id AS doc_id, c.cluster AS cluster
+         |FROM (SELECT doc_id, nt FROM pn WHERE snap = 1) d
+         |JOIN contents ct ON ct.nt = d.nt
+         |JOIN ccl c ON c.id = ct.cid""".stripMargin,
     "lang_id" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -39,7 +39,10 @@ object ChunkDedup {
 
   case class ChkptResult(
       chkptId: Int,
-      labels: DataFrame,      // (node, label) — region roots keep FIRST/SHIFT/FIXED
+      labels: DataFrame,      // (node, label) — per-LEAF classification
+                              // (FIRST/FIXED/SHIFT, identical on both
+                              // execution paths); region coalescing is
+                              // reported via numFirstOcur/numShiftDupl
       numFirstOcur: Long,     // count of first-occurrence region roots
       numShiftDupl: Long,     // count of shifted-duplicate region roots
       firstLeaves: DataFrame, // (pos, chunk) bytes stored in the incremental chkpt
@@ -199,6 +202,10 @@ object ChunkDedup {
         .union(shiftedGlobal.select(col("node"), col("digest"), lit(SHIFT).as("label")))
         .union(shiftedLocal.select(col("node"), col("digest"), lit(SHIFT).as("label")))
         .localCheckpoint(true)
+      // leaf-level labels are the public per-chunk classification — captured
+      // BEFORE the sweeps so both execution paths emit identical labels (the
+      // sweeps absorb nodes into regions, which only the counts report)
+      val leafLabels = st.select("node", "label")
 
       // ---- bottom-up sweeps -------------------------------------------------
       // Reference order preserved exactly: the FIRST forest is fully built
@@ -298,7 +305,7 @@ object ChunkDedup {
 
       val res = ChkptResult(
         chkptId = cid,
-        labels = st.select("node", "label"),
+        labels = leafLabels,
         numFirstOcur = counts.getOrElse(FIRST, 0L),
         numShiftDupl = counts.getOrElse(SHIFT, 0L),
         firstLeaves = storedFirst,

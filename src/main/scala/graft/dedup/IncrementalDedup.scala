@@ -11,19 +11,24 @@ import graft.state.SnapshotStore
   *
   * The dedup graph is keyed by CONTENT, not by document: a content unit
   * (ckey = content hash of normalized text) is immutable, so the registry,
-  * feature, band-index and edge tables are append-only across snapshots —
-  * no state row is ever invalidated when a url's text changes (the url just
-  * points at a different content node). Per snapshot:
+  * feature, band-index and edge tables are APPEND-ONLY across snapshots —
+  * each snapshot commits only its fresh rows and the cumulative table is the
+  * committed range (an Iceberg partition-pruned scan). No state row is ever
+  * invalidated when a url's text changes (the url just points at a different
+  * content node). Per snapshot:
   *
   *   - FIXED fast path (F1/F2, basic_approach.cpp:36-44): urls whose ckey
   *     equals their previous snapshot's bypass all content work;
   *   - new ckeys register (first-presenting doc_id becomes the content_id —
   *     min-id election, J1/J2) and are shingled/banded ONCE ever;
   *   - LSH candidates: new bands vs the accumulated band index (the world is
-  *     never re-banded — each content pair surfaces when its newer member
-  *     arrives) + exact-Jaccard verification;
-  *   - content-level connected components; documents inherit their content's
-  *     cluster via two hash joins.
+  *     never re-banded; a content pair surfaces exactly once — when its newer
+  *     member registers — so per-snapshot edge sets are disjoint and
+  *     append-only) + exact-Jaccard verification;
+  *   - connected components over ckey content nodes (ckey is the unique node
+  *     identity; content_id alone is NOT unique — a revised url re-elects its
+  *     own doc_id for the new content), relabeled to min content_id per
+  *     component; documents inherit their content's cluster via one hash join.
   *
   * Every stage runs through [[SnapshotStore.stage]]: a killed job rerun with
   * the same store resumes after the last committed stage (north_rule
@@ -55,70 +60,81 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
       }
     }
 
-    // content registry (J1 insert-if-absent): ckey → content_id (min doc_id)
-    def prevReg() = if (snap == 0) emptyReg() else store.read("registry", snap - 1)
-    val registry = store.stage("registry", snap) {
-      val fresh = changed.join(prevReg().select("ckey"), Seq("ckey"), "left_anti")
+    // content registry (J1 insert-if-absent): ckey → content_id (min doc_id).
+    // Append-only: this snapshot commits only its FRESH registrations.
+    def regUpTo(hi: Int): DataFrame =
+      if (hi < 0) emptyReg()
+      else store.readRange("registry", 0, hi).select("ckey", "content_id")
+    val freshReg = store.stage("registry", snap) {
+      changed.join(regUpTo(snap - 1).select("ckey"), Seq("ckey"), "left_anti")
         .groupBy("ckey").agg(min("doc_id").as("content_id"))
-      prevReg().unionByName(fresh)
     }
+    val registry = regUpTo(snap)
 
     // fresh content of THIS snapshot: registered here, banded once, never
     // re-processed (text comes from the electing document's row)
     val freshContent = changed
-      .join(prevReg().select("ckey"), Seq("ckey"), "left_anti")
+      .join(freshReg.select("ckey"), Seq("ckey"), "left_semi")
       .groupBy("ckey")
       .agg(min(struct(col("doc_id"), col("text"))).as("w"))
-      .select(col("w.doc_id").as("doc_id"), col("w.text").as("text"))
+      .select(col("ckey"), col("w.text").as("text"))
 
     val newFeatures = store.stage("features", snap) {
-      MinHashLSH.features(freshContent, cfg)
-        .withColumnRenamed("doc_id", "content_id")
+      MinHashLSH.features(freshContent, cfg, idCol = "ckey")
+        .withColumnRenamed("doc_id", "ckey")
     }
 
     val newBands = store.stage("band_index", snap) {
-      newFeatures.select(col("content_id"),
+      newFeatures.select(col("ckey"),
         posexplode(gf.bands(col("sig"), cfg.bands)).as(Seq("band", "bh")))
     }
 
-    // near-dup edges between content nodes (append-only)
-    val edges = store.stage("edges", snap) {
+    // near-dup edges between content nodes — per-snapshot sets are disjoint
+    // (a pair surfaces exactly when its newer member arrives), so only the
+    // new edges are committed
+    val newEdges = store.stage("edges", snap) {
       val allBands = store.readRange("band_index", 0, snap).drop("snapshot_id")
-      val cand = newBands.select(col("band"), col("bh"), col("content_id").as("a"))
-        .join(allBands.select(col("band"), col("bh"), col("content_id").as("b")),
+      val cand = newBands.select(col("band"), col("bh"), col("ckey").as("a"))
+        .join(allBands.select(col("band"), col("bh"), col("ckey").as("b")),
           Seq("band", "bh"))
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct()
       val allFeatures = store.readRange("features", 0, snap)
-        .drop("snapshot_id").withColumnRenamed("content_id", "doc_id")
-      val near = MinHashLSH.verifiedPairs(allFeatures, cand, cfg).select("a", "b")
-      val prevEdges = if (snap == 0) near.limit(0) else store.read("edges", snap - 1)
-      prevEdges.unionByName(near).distinct()
+        .select(col("ckey").as("doc_id"), col("sh"))
+      MinHashLSH.verifiedPairs(allFeatures, cand, cfg).select("a", "b")
     }
+    val edges = store.readRange("edges", 0, snap).select("a", "b")
 
-    // content-level clustering; min content_id = deterministic cluster label
+    // content-level clustering over ckey nodes; deterministic label = min
+    // content_id (= min doc_id ever holding any content of the component)
     val contentClusters = store.stage("content_clusters", snap) {
-      ConnectedComponents.assignAll(spark,
-        registry.select(col("content_id")).distinct(), edges)
-        .select(col("id").as("content_id"), col("cluster"))
+      val comps = ConnectedComponents.assignAll(spark,
+        registry.select(col("ckey")), edges) // (id = ckey, cluster = min ckey)
+      val labels = comps.join(registry, comps("id") === registry("ckey"))
+        .groupBy(comps("cluster")).agg(min("content_id").as("content_cluster"))
+      comps.join(labels, "cluster")
+        .select(col("id").as("ckey"), col("content_cluster").as("cluster"))
     }
 
-    // documents inherit their content's cluster (two hash joins, no rescan)
+    // documents inherit their content's cluster (one hash join, no rescan)
     val assignments = store.stage("assignments", snap) {
       keyed.select(col("doc_id"), col("ckey"))
-        .join(registry.select("ckey", "content_id"), Seq("ckey"))
-        .join(contentClusters, Seq("content_id"))
+        .join(contentClusters, Seq("ckey"))
         .select(col("doc_id"), col("cluster"))
     }
 
     store.stage("metrics", snap, Map("stage" -> "snapshot_summary")) {
       import spark.implicits._
-      Seq((snap, keyed.count(), changed.count(), newFeatures.count(),
-        edges.count(), contentClusters.select("cluster").distinct().count(),
+      // row counts come from the committed stage manifests — zero extra jobs
+      val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
+      Seq((snap, store.committedRows("pages_keyed", snap),
+        store.committedRows("changed", snap),
+        store.committedRows("features", snap), nEdges,
+        store.committedRows("assignments", snap),
         (System.nanoTime() - t0) / 1000000))
         .toDF("snapshot", "n_pages", "n_changed", "n_new_content",
-          "n_edges", "n_content_clusters", "elapsed_ms")
+          "n_edges", "n_assignments", "elapsed_ms")
     }
     assignments
   }

@@ -37,11 +37,21 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     deleteRec(tmp); deleteRec(target)
     val t0 = System.nanoTime()
     df.write.mode("overwrite").parquet(tmp.toString)
-    // per-partition lineage of what was just written (parquet file = partition)
-    val written = spark.read.parquet(tmp.toString)
-    val parts = written.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows")).collect()
-      .map(r => (baseName(r.getString(0)), r.getLong(1)))
+    // per-partition lineage of what was just written (parquet file =
+    // partition) from the parquet FOOTERS — metadata-only, no re-scan of the
+    // data pages (the previous read-back + groupBy(input_file_name) re-read
+    // every committed byte once more)
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = Files.list(tmp).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .toArray.sortBy(_.toString)
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (p.getFileName.toString, r.getRecordCount) finally r.close()
+      }
     val rows = parts.map(_._2).sum
     val lineage = parts.map { case (f, n) => s"""{"file": ${q(f)}, "rows": $n}""" }
     val ms = (System.nanoTime() - t0) / 1000000
@@ -82,6 +92,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def manifestJson(table: String, snap: Int): String =
     new String(Files.readAllBytes(manifest(table, snap)), StandardCharsets.UTF_8)
 
+  /** Row count of a committed snapshot, from its manifest — zero jobs. */
+  def committedRows(table: String, snap: Int): Long =
+    """"rows":\s*(\d+)""".r.findFirstMatchIn(manifestJson(table, snap))
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"no rows field in $table/snapshot=$snap manifest"))
+
   /** Compute-or-reuse: the stage runner every pipeline step goes through. */
   def stage(table: String, snap: Int, meta: Map[String, String] = Map.empty)
            (compute: => DataFrame): DataFrame = {
@@ -91,7 +107,6 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
   private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
     Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))

@@ -71,12 +71,20 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("distributed per-level sweep agrees with the local fast path") {
-    // same inputs through both execution paths ⇒ identical region counts
+    // same inputs through both execution paths ⇒ identical region counts AND
+    // identical per-leaf labels (labels are leaf-level by contract)
     for ((s0, s1, fo, sd, id) <- goldenVectors.take(5)) {
       val chain = new graft.dedup.ChunkDedup.Chain(spark, 8L, localSweepMax = 0L)
       chain.checkpoint(ChunkDedup.chunkify(spark, s0, 1))
       val r = chain.checkpoint(ChunkDedup.chunkify(spark, s1, 1))
       assert((r.numFirstOcur, r.numShiftDupl) == ((fo, sd)), s"case $id (distributed)")
+
+      val local = new graft.dedup.ChunkDedup.Chain(spark, 8L)
+      local.checkpoint(ChunkDedup.chunkify(spark, s0, 1))
+      val rl = local.checkpoint(ChunkDedup.chunkify(spark, s1, 1))
+      def labelMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(labelMap(r.labels) == labelMap(rl.labels), s"case $id label parity")
     }
   }
 

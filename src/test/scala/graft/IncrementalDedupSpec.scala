@@ -46,7 +46,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
 
     // oracle over ALL content ever seen (reference semantics: old checkpoints
     // stay valid dedup sources), projected onto snapshot-1 documents
-    val contents = store.read("registry", 1)
+    val contents = store.readRange("registry", 0, 1).select("ckey", "content_id")
       .join(store.readRange("pages_keyed", 0, 1)
         .groupBy("ckey").agg(min(struct(col("doc_id"), col("text"))).as("w"))
         .select(col("ckey"), col("w.text").as("text")), Seq("ckey"))
@@ -56,7 +56,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     val oracleClusters = SerialOracle.clusters(contents.map(_._1), oraclePairs)
     // project: doc → content → oracle cluster
     val doc2content = store.read("pages_keyed", 1)
-      .join(store.read("registry", 1), Seq("ckey"))
+      .join(store.readRange("registry", 0, 1).select("ckey", "content_id"), Seq("ckey"))
       .select("doc_id", "content_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
