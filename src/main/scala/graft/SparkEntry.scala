@@ -112,12 +112,17 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
           concat(col("text"), lit(" fresh revision tokens zz1 zz2 zz3")))
           .otherwise(col("text")))
+      // one generation pass: the dump is both the oracle's input and the
+      // job's input (snapshots read back as pruned parquet scans)
+      val dump = s"/tmp/graft_oracle/inc_n${n}_s42_v2" // v2: + url column
       dumpOnce(
-        snap0.select(lit(0).as("snap"), col("doc_id"), col("text")).unionByName(
-          snap1.select(lit(1).as("snap"), col("doc_id"), col("text"))),
-        s"/tmp/graft_oracle/inc_n${n}_s42")
-      inc.processSnapshot(0, snap0)
-      inc.processSnapshot(1, snap1)
+        snap0.select(lit(0).as("snap"), col("url"), col("doc_id"), col("text"))
+          .unionByName(snap1.select(lit(1).as("snap"), col("url"),
+            col("doc_id"), col("text"))),
+        dump)
+      val all = s.read.parquet(dump)
+      inc.processSnapshot(0, all.filter(col("snap") === 0).drop("snap"))
+      inc.processSnapshot(1, all.filter(col("snap") === 1).drop("snap"))
     }),
 
     // Reference-fidelity chunk dedup (tree approach): two checkpoints derived
@@ -316,7 +321,7 @@ object SparkEntry {
   // empty-token filter); k=5 shingles with the whole-sequence fallback for
   // docs shorter than k words (Impl.shinglesFromWords).
   private val pagesGlob = "read_parquet('/tmp/graft_oracle/pages_n2000_s42/*.parquet')"
-  private val incGlob = "read_parquet('/tmp/graft_oracle/inc_n1000_s42/*.parquet')"
+  private val incGlob = "read_parquet('/tmp/graft_oracle/inc_n1000_s42_v2/*.parquet')"
   private def toksSql(t: String): String =
     s"list_filter(string_split_regex(lower($t), '\\s+'), x -> x <> '')"
   // normalized text; DuckDB's array_to_string of an empty list is NULL, and

@@ -48,13 +48,16 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
         gf.contentKey64(col("text")).as("ckey"), col("text"))
     }
 
-    // F1/F2 fixed fast path: only urls with new/changed content continue
+    // F1/F2 fixed fast path: only urls with new/changed content continue.
+    // Narrow rows — text stays in pages_keyed and is joined back only for
+    // the (few) freshly registered contents.
     val changed = store.stage("changed", snap) {
-      if (snap == 0) keyed
+      val narrow = keyed.select("url", "doc_id", "ckey")
+      if (snap == 0) narrow
       else {
         val prev = store.read("pages_keyed", snap - 1)
           .select(col("url"), col("ckey").as("prev_ckey"))
-        keyed.join(prev, Seq("url"), "left")
+        narrow.join(prev, Seq("url"), "left")
           .filter(col("prev_ckey").isNull || col("prev_ckey") =!= col("ckey"))
           .drop("prev_ckey")
       }
@@ -73,11 +76,10 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
 
     // fresh content of THIS snapshot: registered here, banded once, never
     // re-processed (text comes from the electing document's row)
-    val freshContent = changed
-      .join(freshReg.select("ckey"), Seq("ckey"), "left_semi")
-      .groupBy("ckey")
-      .agg(min(struct(col("doc_id"), col("text"))).as("w"))
-      .select(col("ckey"), col("w.text").as("text"))
+    val freshContent = freshReg
+      .select(col("ckey"), col("content_id").as("doc_id"))
+      .join(keyed.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("ckey"), col("text"))
 
     val newFeatures = store.stage("features", snap) {
       MinHashLSH.features(freshContent, cfg, idCol = "ckey")

@@ -43,20 +43,13 @@ object LongRepeats {
                        maxBucket: Int): DataFrame = {
     val fps = normDocs
       .select(col("doc_id"), explode(gf.winnow(col("t"), gram, window)).as("f"))
-      .select(col("doc_id"), col("f.pos").as("pos"), col("f.hash").as("h"))
-    val buckets = fps.groupBy("h")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairsExpr =
-      s"""CASE WHEN size(ids) <= $maxBucket THEN
-         |  flatten(transform(ids, (x, i) ->
-         |    transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS p, y AS q))))
-         |ELSE
-         |  transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS p, y AS q))
-         |END""".stripMargin
-    buckets.select(explode(expr(pairsExpr)).as("pr"))
-      .select(col("pr.p.doc_id").as("a"), col("pr.p.pos").as("pa"),
-        col("pr.q.doc_id").as("b"), col("pr.q.pos").as("pb"))
+      .select(col("f.hash").as("h"),
+        struct(col("doc_id"), col("f.pos").as("pos")).as("e"))
+      // bounded kernel: hot fingerprints (ubiquitous boilerplate grams) emit
+      // star pairs from a streaming pass — linear, and never a per-key buffer
+    MinHashLSH.boundedBucketPairs(fps, Seq("h"), maxBucket)
+      .select(col("p.doc_id").as("a"), col("p.pos").as("pa"),
+        col("q.doc_id").as("b"), col("q.pos").as("pb"))
   }
 
   /** Suffix-array candidates within each partition: adjacent SA entries with

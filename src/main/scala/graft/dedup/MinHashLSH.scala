@@ -40,35 +40,75 @@ object MinHashLSH {
         gf.shingles(col(textCol), cfg.shingleK).as("sh")) // kernel normalizes
       .withColumn("sig", gf.minhash(col("sh"), cfg.numPerm, cfg.seed))
 
+  /** (doc_id, sh, sig, sim64) in ONE tokenization pass — the pipeline's
+    * feature table (a separate simhash pass would rescan and re-tokenize
+    * every text; memory traffic is the local-mode scaling ceiling).
+    */
+  def featuresFused(docs: DataFrame, cfg: DedupConfig,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        gf.featureStruct(col(textCol), cfg.shingleK, cfg.numPerm, cfg.seed).as("f"))
+      .select(col("doc_id"), col("f.sh").as("sh"), col("f.sig").as("sig"),
+        col("f.sim64").as("sim64"))
+
   /** (key, doc_id) LSH probe rows — the band index is already folded into
     * each band hash, so the bare 64-bit key is the grouping key.
     */
   def bandKeyRows(features: DataFrame, cfg: DedupConfig): DataFrame =
     features.select(col("doc_id"), explode(gf.bands(col("sig"), cfg.bands)).as("key"))
 
-  /** Candidate pairs (a < b) from bucketed probe keys — shared by every
-    * candidate source (LSH bands, SimHash block keys): one hash-shuffle on
-    * the key — the explicit global exchange the reference never needs
-    * (rank-local dedup, dedup_files_mpi.cpp:53-65) — one bucket aggregation,
-    * one distinct. Buckets beyond `maxBucket` emit star edges (linear).
+  /** Candidate pairs (p < q) from bucketed probe rows with BOUNDED executor
+    * memory — shared by every bucket-pair source (LSH bands, SimHash block
+    * keys, winnow fingerprints, SRP buckets).
+    *
+    * `keyRows` must have columns `keyCols :+ "e"` (element; any orderable
+    * type). Two-phase:
+    *
+    *   1. per-key stats (min element + count) — a pure partial+final hash
+    *      aggregate, O(1) state per key, never a per-key array;
+    *   2. join the stats back (same key ⇒ the shuffle partitioning is
+    *      reused): keys with count ≤ maxBucket aggregate their (bounded)
+    *      member list and emit all pairs; HOT keys emit star edges
+    *      (min, member) straight from the joined rows — one row in, ≤ one
+    *      pair out, no aggregation buffer at all.
+    *
+    * A boilerplate flood of 10⁸ rows on one key therefore costs a streaming
+    * pass, not a 10⁸-element ObjectHashAggregate buffer; connectivity (what
+    * clustering needs) is preserved by the star.
     */
-  def pairsFromKeyRows(keyRows: DataFrame, cfg: DedupConfig): DataFrame = {
-    val buckets = keyRows
-      .groupBy(col("key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairsExpr =
-      s"""CASE WHEN size(ids) <= ${cfg.maxBucket} THEN
-         |  flatten(transform(ids, (x, i) ->
-         |    transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))
-         |ELSE
-         |  transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS a, y AS b))
-         |END""".stripMargin
-    buckets
-      .select(explode(expr(pairsExpr)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+  def boundedBucketPairs(keyRows: DataFrame, keyCols: Seq[String],
+                         maxBucket: Int): DataFrame = {
+    val k = keyCols.map(col)
+    val stats = keyRows.groupBy(k: _*)
+      .agg(min(col("e")).as("mn"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val joined = keyRows.join(stats, keyCols)
+    val hotPairs = joined.filter(col("cnt") > maxBucket && col("e") =!= col("mn"))
+      .select(col("mn").as("p"), col("e").as("q"))
+    val smallPairsExpr =
+      """flatten(transform(ids, (x, i) ->
+        |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS p, y AS q))))"""
+        .stripMargin
+    val smallPairs = joined.filter(col("cnt") <= maxBucket)
+      .groupBy(k: _*).agg(sort_array(collect_list(col("e"))).as("ids"))
+      .select(explode(expr(smallPairsExpr)).as("pr"))
+      .select(col("pr.p").as("p"), col("pr.q").as("q"))
+    smallPairs.union(hotPairs)
   }
+
+  /** Candidate pairs (a < b) from bucketed probe keys: one hash-shuffle on
+    * the key — the explicit global exchange the reference never needs
+    * (rank-local dedup, dedup_files_mpi.cpp:53-65) — then the bounded
+    * bucket-pair kernel + one distinct.
+    */
+  def pairsFromKeyRows(keyRows: DataFrame, cfg: DedupConfig): DataFrame =
+    boundedBucketPairs(keyRows.select(col("key"), col("doc_id").as("e")),
+      Seq("key"), cfg.maxBucket)
+      .select(col("p").as("a"), col("q").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
 
   /** Candidate pairs (a < b) from LSH band buckets. */
   def candidatePairs(features: DataFrame, cfg: DedupConfig): DataFrame =

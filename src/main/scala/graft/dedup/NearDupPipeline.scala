@@ -34,16 +34,17 @@ object NearDupPipeline {
       exact.filter(col("doc_id") === col("rep")).select(col("doc_id").as(idCol)),
       Seq(idCol))
 
-    // 2+3. candidate generation on distinct-content representatives only.
-    // Both probe sources emit salted 64-bit (key, doc_id) rows, unioned
-    // BEFORE the bucket aggregation: one shuffle + one distinct for all
-    // candidate generation instead of two of each.
-    val feats = MinHashLSH.features(reps, cfg, idCol, textCol)
+    // 2+3. candidate generation on distinct-content representatives only —
+    // ONE fused feature scan (shingles + minhash + simhash share the
+    // tokenization pass and one persisted table). Both probe sources emit
+    // salted 64-bit (key, doc_id) rows, unioned BEFORE the bucket
+    // aggregation: one shuffle + one distinct for all candidate generation.
+    val feats = MinHashLSH.featuresFused(reps, cfg, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyRows =
       if (useSimhash)
         MinHashLSH.bandKeyRows(feats, cfg).union(
-          SimHashDedup.keyRows(SimHashDedup.fingerprints(reps, idCol, textCol), cfg))
+          SimHashDedup.keyRows(feats.select(col("doc_id"), col("sim64")), cfg))
       else MinHashLSH.bandKeyRows(feats, cfg)
     val cand = MinHashLSH.pairsFromKeyRows(keyRows, cfg)
 

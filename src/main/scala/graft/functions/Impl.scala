@@ -365,6 +365,22 @@ object Impl {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Fused per-document feature kernel: ONE tokenization pass produces the
+    * shingle set, the MinHash signature AND the SimHash fingerprint —
+    * struct(sh, sig, sim64). Local-mode scaling is allocation/memory-
+    * bandwidth-bound (BASELINE.md), and the text scan + word hashing is the
+    * shared expensive part of all three features; separate expressions
+    * tokenize the same 2 KB of text twice.
+    */
+  def featureStruct(text: UTF8String, k: Int, numPerm: Int, seed: Long): InternalRow = {
+    val words = normWordHashes(text)
+    val sh = shinglesFromWords(words, k)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(sh),
+      new GenericArrayData(minhashArr(sh, numPerm, seed)),
+      simhashFromWords(words)))
+  }
+
   /** 16-bit block `i` (0..3) of a simhash — the naive Hamming-ball probe key
     * (kept for tests/queries; use [[simhashKeys]] at scale).
     */

@@ -33,6 +33,10 @@ object gf {
   def minhash(col: Column, numPerm: Int = 128, seed: Long = 42L): Column =
     c(MinHashSig(x(col), numPerm, seed))
 
+  /** Fused features struct(sh, sig, sim64) in one tokenization pass. */
+  def featureStruct(col: Column, k: Int, numPerm: Int = 128, seed: Long = 42L): Column =
+    c(FeatureStruct(x(col), k, numPerm, seed))
+
   /** LSH band hashes of a MinHash signature. */
   def bands(col: Column, numBands: Int): Column = c(BandHashes(x(col), numBands))
 

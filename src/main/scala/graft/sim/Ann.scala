@@ -43,18 +43,14 @@ object Ann {
     val bucketed = emb.select(col(idCol).as("id") +: col(vecCol).as("v") +: bucketCols: _*)
       .select(col("id"), col("v"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq("table", "bucket")))
-    val buckets = bucketed.groupBy("table", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairsExpr =
-      s"""CASE WHEN size(ids) <= $maxBucket THEN
-         |  flatten(transform(ids, (x, i) ->
-         |    transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))
-         |ELSE
-         |  transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS a, y AS b))
-         |END""".stripMargin
-    val cand = buckets.select(explode(expr(pairsExpr)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+    // bounded bucket-pair kernel: degenerate buckets (near-identical
+    // embedding floods) emit star pairs from a streaming pass, never a
+    // per-bucket aggregation buffer
+    val cand = graft.dedup.MinHashLSH.boundedBucketPairs(
+        bucketed.select(col("table"), col("bucket"), col("id").as("e")),
+        Seq("table", "bucket"), maxBucket)
+      .select(col("p").as("a"), col("q").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
     // directed candidates, exact cosine re-rank
     val directed = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
     val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))

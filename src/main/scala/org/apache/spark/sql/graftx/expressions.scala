@@ -123,6 +123,25 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  /** Fused feature kernel: struct(sh: array<int>, sig: array<long>,
+    * sim64: long) from one tokenization pass (see Impl.featureStruct).
+    */
+  case class FeatureStruct(child: Expression, k: Int, numPerm: Int, seed: Long)
+      extends GraftUnary with ExpectsInputTypes {
+    require(k >= 1 && numPerm >= 1)
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("sh", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("sim64", LongType, nullable = false)))
+    override def nullSafeEval(v: Any): Any =
+      Impl.featureStruct(v.asInstanceOf[UTF8String], k, numPerm, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Impl.featureStruct($c, $k, $numPerm, ${seed}L)")
+    override protected def withNewChildInternal(c: Expression): FeatureStruct = copy(child = c)
+  }
+
   /** Multi-block Hamming probe keys for a simhash (array<long>). */
   case class SimHashKeys(child: Expression, k: Int, d: Int)
       extends GraftUnary with ExpectsInputTypes {

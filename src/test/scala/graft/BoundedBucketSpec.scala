@@ -1,0 +1,48 @@
+package graft
+
+import graft.dedup.MinHashLSH
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded bucket-pair kernel is the skew guard every candidate source
+  * shares — prove the hot-key path: a 10⁵-member key must complete with
+  * star edges only (streaming pass), while small keys still get all pairs.
+  */
+class BoundedBucketSpec extends AnyFunSuite with SparkTestBase {
+
+  test("100k-member hot key emits star edges; small buckets emit all pairs") {
+    import spark.implicits._
+    val n = 100000L
+    val hot = spark.range(n).select(lit(7L).as("key"), col("id").as("e"))
+    val small = Seq((8L, 1000001L), (8L, 1000002L), (8L, 1000003L),
+      (9L, 2000001L)).toDF("key", "e") // key 9 is a singleton: no pairs
+    val pairs = MinHashLSH.boundedBucketPairs(hot.union(small), Seq("key"),
+      maxBucket = 64).collect()
+
+    val hotPairs = pairs.filter(_.getLong(1) < 1000000L)
+    // star: every hot member pairs with the min element (0), exactly once
+    assert(hotPairs.length == n - 1)
+    assert(hotPairs.forall(_.getLong(0) == 0L))
+    assert(hotPairs.map(_.getLong(1)).toSet == (1L until n).toSet)
+    // small bucket: full C(3,2) pair set, ordered p < q
+    val smallPairs = pairs.filter(_.getLong(1) >= 1000000L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(smallPairs == Set((1000001L, 1000002L), (1000001L, 1000003L),
+      (1000002L, 1000003L)))
+  }
+
+  test("the aggregation state is O(1) per key: collect_list only runs below maxBucket") {
+    import spark.implicits._
+    // structural guarantee: the only per-key array aggregation in the plan
+    // sits behind the cnt <= maxBucket filter, so its groups are bounded by
+    // construction — assert the filter is upstream of the ObjectHashAggregate
+    val rows = spark.range(1000).select((col("id") % 10).as("key"), col("id").as("e"))
+    val plan = MinHashLSH.boundedBucketPairs(rows, Seq("key"), maxBucket = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("collect_list"), plan)
+    // the branch feeding collect_list filters on cnt <= 4
+    val aggIdx = plan.indexOf("collect_list")
+    val filtered = plan.substring(aggIdx)
+    assert(filtered.contains("<= 4") || plan.substring(0, aggIdx).contains("<= 4"), plan)
+  }
+}
