@@ -204,6 +204,18 @@ object SparkEntry {
           round(gf.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
     }),
 
+    // k=5 shingle Jaccard between consecutive docs — the PIPELINE's shingle
+    // config (k>1) against a DuckDB-side k-gram shingler (closes the config
+    // gap between the k=1 oracle and the real near-dup kernel).
+    "jaccard_adjacent_k5" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.select(col("doc_id").as("id_a"), gf.shingles(col("text"), 5).as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), gf.shingles(col("text"), 5).as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(gf.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+    }),
+
     // A2-style global agg on TPC-H lineitem (generic engine coverage);
     // decimal cast keeps the sums exact ⇒ order-independent. Final results go
     // out as DOUBLE: a decimal output column round-trips through parquet as
@@ -491,6 +503,13 @@ object SparkEntry {
         |       round(len(list_intersect(a.ws, b.ws)) * 1.0 /
         |             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac
         |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "jaccard_adjacent_k5" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shingleSql AS s FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+         |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "events_windowed_agg" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS ws,
         |       event_type, count(*) AS n,

@@ -67,6 +67,60 @@ object ChunkDedup {
       .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("pos", "chunk")
   }
 
+  /** Reconstruct checkpoint `cid` from a [[graft.state.SnapshotStore]] ALONE
+    * — no in-session chain state; the reference's file-only restart
+    * (tree_approach.cpp:713-1128, driver restart_chkpt_files.cpp:171-195).
+    *
+    * The newest→oldest loop (tree_approach.cpp:943): every position of
+    * `cid` carries a (src_chkpt, src_pos) claim; per older checkpoint the
+    * claims at that checkpoint either hit its first-occurrence bytes,
+    * follow its shift indirection, or fall through FIXED to the previous
+    * checkpoint at the same position (§2.8 left-anti semantics). Each round
+    * is a few joins over narrow columns; rounds = chain length.
+    */
+  def restartFromStore(spark: SparkSession, store: graft.state.SnapshotStore,
+                       cid: Int): DataFrame = {
+    val numChunks =
+      """"num_chunks":\s*"(\d+)"""".r
+        .findFirstMatchIn(store.manifestJson("chunk_first", cid))
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error("chunk_first manifest lacks num_chunks"))
+    def first(c: Int): DataFrame = store.read("chunk_first", c)
+    def shift(c: Int): DataFrame = store.read("chunk_shift", c)
+
+    // initial claims: every position of cid sources from (cid, pos)
+    var pending = spark.range(numChunks)
+      .select(col("id").as("pos"), lit(cid).as("src_chkpt"), col("id").as("src_pos"))
+    var resolved = first(cid).limit(0).select(col("pos"), col("chunk"))
+    var cur = cid
+    while (cur >= 0) {
+      val pCur = pending.filter(col("src_chkpt") === cur)
+        .select(col("pos"), col("src_pos"))
+      val f = first(cur).select(col("pos").as("src_pos"), col("chunk"))
+      val sh = shift(cur).select(col("pos").as("src_pos"),
+        col("src_chkpt").as("sc2"), col("src_pos").as("sp2"))
+      val hit = pCur.join(f, Seq("src_pos")).select(col("pos"), col("chunk"))
+      val redir = pCur.join(sh, Seq("src_pos")).select(col("pos"), col("sc2"), col("sp2"))
+      // a same-checkpoint indirection targets a first-occurrence of cur
+      val hit2 = redir.filter(col("sc2") === cur)
+        .select(col("pos"), col("sp2").as("src_pos"))
+        .join(f, Seq("src_pos")).select(col("pos"), col("chunk"))
+      val redirOld = redir.filter(col("sc2") < cur)
+        .select(col("pos"), col("sc2").as("src_chkpt"), col("sp2").as("src_pos"))
+      // FIXED fall-through: same position, previous checkpoint
+      val fall = pCur
+        .join(f.select("src_pos"), Seq("src_pos"), "left_anti")
+        .join(sh.select("src_pos"), Seq("src_pos"), "left_anti")
+        .select(col("pos"), lit(cur - 1).as("src_chkpt"), col("src_pos"))
+      resolved = resolved.union(hit).union(hit2)
+      pending = pending.filter(col("src_chkpt") =!= cur)
+        .union(redirOld).union(fall)
+        .localCheckpoint(true) // cut the per-round lineage
+      cur -= 1
+    }
+    resolved.select("pos", "chunk")
+  }
+
   object Chain {
     /** Checkpoints up to this many chunks use the in-memory forest sweep with
       * batched map probes; larger ones use the per-level DataFrame sweep.
@@ -137,9 +191,17 @@ object ChunkDedup {
 
   /** Stateful dedup over a chain of checkpoints (all with the same chunk
     * count, like the reference's fixed data_len). Not thread-safe.
+    *
+    * With a [[graft.state.SnapshotStore]] attached, each checkpoint's
+    * incremental outputs (first-occurrence bytes + shift metadata — exactly
+    * the reference's checkpoint file sections, tree_approach.cpp:593-622)
+    * are committed durably, and [[ChunkDedup.restartFromStore]] reconstructs
+    * ANY checkpoint in a fresh process from files alone
+    * (restart_chkpt_files.cpp:171-195).
     */
   final class Chain(spark: SparkSession, numChunks: Long,
-                    localSweepMax: Long = Chain.LOCAL_SWEEP_MAX) {
+                    localSweepMax: Long = Chain.LOCAL_SWEEP_MAX,
+                    store: Option[graft.state.SnapshotStore] = None) {
     require(numChunks >= 1)
     private val nLeaves = numChunks
     private val leafBase = nLeaves - 1 // chunk j ↦ node leafBase + j
@@ -197,7 +259,7 @@ object ChunkDedup {
         col("node").as("src_node")))
 
       // state: (node, digest, label); leaf-level sources kept aside
-      var st = firstLeavesDf.select(col("node"), col("digest"), lit(FIRST).as("label"))
+      val st = firstLeavesDf.select(col("node"), col("digest"), lit(FIRST).as("label"))
         .union(fixedLeaves.select(col("node"), col("digest"), lit(FIXED).as("label")))
         .union(shiftedGlobal.select(col("node"), col("digest"), lit(SHIFT).as("label")))
         .union(shiftedLocal.select(col("node"), col("digest"), lit(SHIFT).as("label")))
@@ -214,24 +276,34 @@ object ChunkDedup {
       // also keeps ragged trees correct: equal-height subtrees can sit on
       // different heap levels when n is not a power of two.
 
-      /** One full bottom-up sweep coalescing same-label sibling pairs.
+      /** One full bottom-up sweep coalescing same-label sibling pairs —
+        * THIN: only the live frontier of this label is ever materialized
+        * (absorbed children drop out, unpaired nodes retire to a small
+        * root accumulator), so total materialized volume is O(label leaves)
+        * instead of O(all nodes · log n).
         * @param accept parents → subset that actually coalesces
         * @param onParents side effect before absorption (map insertion)
+        * @return number of region roots for this label
         */
-      def sweep(label: String,
-                accept: DataFrame => DataFrame,
-                onParents: DataFrame => Unit): Unit = {
+      def thinSweep(label: String,
+                    accept: DataFrame => DataFrame,
+                    onParents: DataFrame => Unit): Long = {
+        var frontier = st.filter(col("label") === label)
+          .select(col("node"), col("digest")).localCheckpoint(true)
+        var rootsAcc = frontier.select(col("node")).limit(0)
         var l = maxLevel - 1
         while (l >= 0) {
-          val children = st.filter(col("label") === label)
+          val withLvl = frontier
             .withColumn("lvl", floor(log2(col("node") + 1)).cast("int"))
-            .filter(col("lvl") === l + 1)
+          val lvlNodes = withLvl.filter(col("lvl") === l + 1).drop("lvl")
+          val rest = withLvl.filter(col("lvl") =!= l + 1).drop("lvl")
+          val paired = lvlNodes
             .withColumn("parent", ((col("node") - 1) / 2).cast("long"))
             .withColumn("is_left", (col("node") % 2) === 1)
-          val paired = children.groupBy("parent").agg(
-            count(lit(1)).as("cnt"),
-            max(when(col("is_left"), col("digest"))).as("dl"),
-            max(when(!col("is_left"), col("digest"))).as("dr"))
+            .groupBy("parent").agg(
+              count(lit(1)).as("cnt"),
+              max(when(col("is_left"), col("digest"))).as("dl"),
+              max(when(!col("is_left"), col("digest"))).as("dr"))
             .filter(col("cnt") === 2)
             .select(col("parent").as("node"),
               gf.murmur128(concat(col("dl"), col("dr"))).as("digest"))
@@ -240,16 +312,14 @@ object ChunkDedup {
           onParents(parents)
           val absorbed = parents.select((col("node") * 2 + 1).as("node"))
             .union(parents.select((col("node") * 2 + 2).as("node")))
-          st = st.join(absorbed.withColumn("absorbed", lit(true)), Seq("node"), "left")
-            .withColumn("label",
-              when(col("absorbed"), lit(DONE)).otherwise(col("label")))
-            .drop("absorbed")
-            .select(col("node"), col("digest"), col("label"))
-            .union(parents.withColumn("label", lit(label))
-              .select(col("node"), col("digest"), col("label")))
-            .localCheckpoint(true)
+          // nodes of this level that were NOT absorbed are region roots
+          val unpaired = lvlNodes.join(absorbed, Seq("node"), "left_anti")
+          rootsAcc = rootsAcc.union(unpaired.select("node"))
+          frontier = rest.union(parents).localCheckpoint(true)
           l -= 1
         }
+        // anything left (level-0 root, single-leaf trees) is a region root
+        rootsAcc.count() + frontier.count()
       }
 
       val counts: Map[String, Long] =
@@ -280,19 +350,18 @@ object ChunkDedup {
             }
           Chain.regionCounts(leafEntries, firstInt, fixedInt, shiftCand, presentShift)
         } else {
-          // ---- distributed path: per-level sweeps ---------------------------
-          // log₂(n) shuffles of geometrically shrinking node sets; total
-          // shuffled volume ≤ 2× the leaf table. Used when one checkpoint's
-          // chunk count exceeds driver-collectable size.
-          sweep(FIRST, identity, parents =>
+          // ---- distributed path: per-level THIN sweeps ----------------------
+          // log₂(n) shuffles of geometrically shrinking live frontiers; total
+          // materialized volume is O(leaves), not O(nodes · log n). Used when
+          // one checkpoint's chunk count exceeds driver-collectable size.
+          val fo = thinSweep(FIRST, identity, parents =>
             insertIntoMap(parents.select(col("digest"), lit(cid).as("src_chkpt"),
               col("node").as("src_node"))))
-          sweep(FIXED, identity, _ => ())
-          sweep(SHIFT,
+          val fx = thinSweep(FIXED, identity, _ => ())
+          val sd = thinSweep(SHIFT,
             paired => paired.join(mapOrEmpty().select("digest"), Seq("digest"), "left_semi"),
             _ => ())
-          st.groupBy("label").count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          Map(FIRST -> fo, FIXED -> fx, SHIFT -> sd)
         }
 
       // ---- outputs ----------------------------------------------------------
@@ -311,6 +380,13 @@ object ChunkDedup {
         firstLeaves = storedFirst,
         shiftLeafMap = shiftLeafMap)
       results += res
+
+      // durable incremental checkpoint: the two file sections restart needs
+      store.foreach { st =>
+        st.commit("chunk_first", cid, storedFirst,
+          Map("num_chunks" -> numChunks.toString))
+        st.commit("chunk_shift", cid, shiftLeafMap)
+      }
 
       // reconstruct this checkpoint into reconAll (restart support)
       val recon = reconstructCurrent(cid, storedFirst, shiftLeafMap)

@@ -88,6 +88,64 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cross-session restart: any checkpoint reconstructs from the store ALONE") {
+    // the reference rebuilds any checkpoint from incremental FILES with no
+    // in-memory chain state (restart_chkpt_files.cpp:171-195) — here: build
+    // a chain against a SnapshotStore, drop the chain, reconstruct every
+    // checkpoint via restartFromStore (reads only committed parquet)
+    val root = java.nio.file.Files.createTempDirectory("graft_chunk_store").toString
+    val store = new graft.state.SnapshotStore(spark, root)
+    val rnd = new scala.util.Random(7)
+    val n = 32
+    val alphabet = "ABCDEFGH"
+    var cur = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[String]
+    locally {
+      val chain = new ChunkDedup.Chain(spark, n.toLong, store = Some(store))
+      for (step <- 0 until 4) {
+        if (step > 0)
+          for (i <- 0 until n if rnd.nextDouble() < 0.15)
+            cur(i) = alphabet(rnd.nextInt(alphabet.length))
+        val s = new String(cur)
+        snapshots += s
+        chain.checkpoint(ChunkDedup.chunkify(spark, s, 1))
+      }
+    } // chain out of scope: only the store survives
+    val fresh = new graft.state.SnapshotStore(spark, root) // new handle, files only
+    for (cid <- snapshots.indices) {
+      val rows = ChunkDedup.restartFromStore(spark, fresh, cid).collect()
+      assert(rows.length == n, s"checkpoint $cid: ${rows.length}/$n chunks")
+      val got = rows.sortBy(_.getLong(0)).map(_.getString(1)).mkString
+      assert(got == snapshots(cid), s"checkpoint $cid mismatch")
+    }
+  }
+
+  test("thin distributed sweep matches the local path at 4096 chunks") {
+    // big enough that frontier thinning matters (12 tree levels); both
+    // paths must agree on region counts AND leaf labels
+    val rnd = new scala.util.Random(11)
+    val n = 4096
+    val alphabet = "AB" // heavy duplication → deep coalescing forests
+    def randStr() = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val s0 = randStr()
+    val s1 = {
+      val a = s0.toCharArray
+      for (i <- 0 until n if rnd.nextDouble() < 0.05)
+        a(i) = alphabet(rnd.nextInt(alphabet.length))
+      new String(a)
+    }
+    val dist = new ChunkDedup.Chain(spark, n.toLong, localSweepMax = 0L)
+    dist.checkpoint(ChunkDedup.chunkify(spark, s0, 1))
+    val rd = dist.checkpoint(ChunkDedup.chunkify(spark, s1, 1))
+    val loc = new ChunkDedup.Chain(spark, n.toLong)
+    loc.checkpoint(ChunkDedup.chunkify(spark, s0, 1))
+    val rl = loc.checkpoint(ChunkDedup.chunkify(spark, s1, 1))
+    assert((rd.numFirstOcur, rd.numShiftDupl) == ((rl.numFirstOcur, rl.numShiftDupl)))
+    val ld = rd.labels.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ll = rl.labels.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ld == ll)
+  }
+
   test("randomized multi-checkpoint roundtrip (tree_chkpt analogue)") {
     val rnd = new scala.util.Random(1931) // reference generator seed
     val n = 64
