@@ -204,6 +204,29 @@ object SparkEntry {
           round(gf.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
     }),
 
+    // Streaming exact dedup: stateful streaming aggregation electing the
+    // first-occurrence representative per content key over a file stream of
+    // the corpus (drained with AvailableNow; order-insensitive ⇒
+    // deterministic).
+    "pages_stream_exact_dedup" -> ((s, dir) => {
+      val corpus = pagesCorpus(s, dir)
+      dumpOnce(corpus.select("doc_id", "text"), oraclePagesPath(dir))
+      graft.streaming.EventStream.streamExactDedup(s, oraclePagesPath(dir))
+    }),
+
+    // Embedding-cosine near-dup pairs, exact baseline: threshold pair join
+    // over the corpus (the SRP-LSH bucketed variant is the scale path,
+    // ann_topk_lsh; this is the oracle-checkable exact form).
+    "emb_cosine_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("sim", round(gf.cosine(col("va"), col("vb")), 6))
+        .filter(col("sim") >= 0.4)
+        .select("a", "b", "sim")
+    }),
+
     // k=5 shingle Jaccard between consecutive docs — the PIPELINE's shingle
     // config (k>1) against a DuckDB-side k-gram shingler (closes the config
     // gap between the k=1 oracle and the real near-dup kernel).
@@ -503,6 +526,15 @@ object SparkEntry {
         |       round(len(list_intersect(a.ws, b.ws)) * 1.0 /
         |             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jac
         |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "pages_stream_exact_dedup" ->
+      s"""WITH p AS (SELECT doc_id, ${ntSql("text")} AS nt FROM $pagesGlob)
+         |SELECT min(doc_id) AS rep_doc, count(*) AS cnt FROM p GROUP BY nt""".stripMargin,
+    "emb_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
     "jaccard_adjacent_k5" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, $shingleSql AS s FROM t)

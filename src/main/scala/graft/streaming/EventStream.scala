@@ -55,6 +55,34 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming exact-dedup: a stateful streaming aggregation electing the
+    * first-occurrence representative per CONTENT key over a parquet file
+    * stream (new files = new documents), drained with AvailableNow. The
+    * batch-engine equivalent is ExactDedup (J1/J2); here the accumulating
+    * keyed state lives in the streaming state store. Output: one row per
+    * distinct content, (rep_doc = min doc_id, cnt) — deterministic
+    * regardless of file/batch arrival order because min/count are
+    * order-insensitive.
+    */
+  def streamExactDedup(spark: SparkSession, pagesDir: String): DataFrame = {
+    import graft.functions.gf
+    val schema = spark.read.parquet(pagesDir).schema
+    val stream = spark.readStream.schema(schema).parquet(pagesDir)
+    val agg = stream
+      .groupBy(gf.contentKey64(col("text")).as("ckey"))
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("cnt"))
+      .select(col("rep_doc"), col("cnt"))
+    val name = s"pages_dedup_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Gap-based sessionization via the typed KeyValueGroupedDataset API
     * (per-user custom state logic the built-in window functions can't
     * express as one operator): events within `gapMinutes` of the previous
