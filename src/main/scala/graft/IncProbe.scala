@@ -12,14 +12,9 @@ object IncProbe {
     val store = new graft.state.SnapshotStore(spark, root)
     val inc = new graft.dedup.IncrementalDedup(spark, store, graft.dedup.DedupConfig())
     val n = math.max(100L, SparkEntry.pagesN(sfDir) / 2)
-    val snap0 = graft.pages.PagesGen.pages(spark, n, 42L, spark.sparkContext.defaultParallelism)
-    val snap1 = graft.pages.PagesGen.pages(spark, n + n / 10, 42L, spark.sparkContext.defaultParallelism)
-      .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
-        concat(col("text"), lit(" fresh revision tokens zz1 zz2 zz3")))
-        .otherwise(col("text")))
+    val (snap0, snap1) = SparkEntry.incSnapshots(spark, n)
     for ((snap, df) <- Seq((0, snap0), (1, snap1))) {
       val t0 = System.nanoTime()
-      var last = t0
       // time each stage by watching manifest appearance: easier — just time
       // the whole snapshot and print per-stage write_ms from manifests after
       inc.processSnapshot(snap, df).count()

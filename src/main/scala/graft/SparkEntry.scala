@@ -34,15 +34,50 @@ object SparkEntry {
   /** Dump a DataFrame to a deterministic path once, so the DuckDB oracle can
     * read the same input the query consumed (the synthesized corpus is not
     * part of the driver-provided testdata). Contents are pure functions of
-    * (seed, n), so an existing dump is trusted as-is.
+    * (seed, n), so an existing dump is trusted as-is. Cross-process safe:
+    * written to a process-private tmp dir then atomically renamed — two
+    * concurrent JVMs can never interleave part-files under one _SUCCESS.
     */
   private def dumpOnce(df: => DataFrame, path: String): Unit = this.synchronized {
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-      df.write.mode("overwrite").parquet(path)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    if (Files.exists(Paths.get(path, "_SUCCESS"))) return
+    val tmp = path + ".tmp." + ProcessHandle.current().pid()
+    df.write.mode("overwrite").parquet(tmp)
+    try Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    catch { // lost the race to another process: its complete dump wins
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        val l = Files.walk(Paths.get(tmp))
+        try l.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+        finally l.close()
+    }
   }
 
+  /** sf0.01 is the driver's correctness scale (oracle globs below are pinned
+    * to its corpus sizes through these shared values — one definition for
+    * the dump path and the SQL).
+    */
+  private[graft] val oracleVerifyN: Long = pagesN("/root/testdata/sf0.01") // 2000
   private def oraclePagesPath(dir: String): String =
     s"/tmp/graft_oracle/pages_n${pagesN(dir)}_s42"
+
+  /** The incremental query's two deterministic snapshots: snap0 = first n
+    * docs; snap1 = n + n/10 docs with every 37th pre-existing doc revised.
+    * Shared by the driver query and IncProbe so the probe always profiles
+    * the benched workload.
+    */
+  def incSnapshots(s: SparkSession, n: Long): (DataFrame, DataFrame) = {
+    val snap0 = graft.pages.PagesGen.pages(s, n, 42L,
+      s.sparkContext.defaultParallelism)
+    val snap1 = graft.pages.PagesGen.pages(s, n + n / 10, 42L,
+      s.sparkContext.defaultParallelism)
+      .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
+        concat(col("text"), lit(" fresh revision tokens zz1 zz2 zz3")))
+        .otherwise(col("text")))
+    (snap0, snap1)
+  }
 
   /** Flagship: the full near-dup detection + clustering pipeline (north_rule)
     * on the synthesized Common-Crawl-style corpus.
@@ -105,13 +140,7 @@ object SparkEntry {
       val store = new graft.state.SnapshotStore(s, root)
       val inc = new graft.dedup.IncrementalDedup(s, store, graft.dedup.DedupConfig())
       val n = math.max(100L, pagesN(dir) / 2)
-      val snap0 = graft.pages.PagesGen.pages(s, n, 42L,
-        s.sparkContext.defaultParallelism)
-      val snap1 = graft.pages.PagesGen.pages(s, n + n / 10, 42L,
-        s.sparkContext.defaultParallelism)
-        .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
-          concat(col("text"), lit(" fresh revision tokens zz1 zz2 zz3")))
-          .otherwise(col("text")))
+      val (snap0, snap1) = incSnapshots(s, n)
       // one generation pass: the dump is both the oracle's input and the
       // job's input (snapshots read back as pruned parquet scans)
       val dump = s"/tmp/graft_oracle/inc_n${n}_s42_v2" // v2: + url column
@@ -355,8 +384,10 @@ object SparkEntry {
   // tokenization mirrors the kernel (ASCII lowercase, whitespace-run split,
   // empty-token filter); k=5 shingles with the whole-sequence fallback for
   // docs shorter than k words (Impl.shinglesFromWords).
-  private val pagesGlob = "read_parquet('/tmp/graft_oracle/pages_n2000_s42/*.parquet')"
-  private val incGlob = "read_parquet('/tmp/graft_oracle/inc_n1000_s42_v2/*.parquet')"
+  private val pagesGlob =
+    s"read_parquet('/tmp/graft_oracle/pages_n${oracleVerifyN}_s42/*.parquet')"
+  private val incGlob =
+    s"read_parquet('/tmp/graft_oracle/inc_n${math.max(100L, oracleVerifyN / 2)}_s42_v2/*.parquet')"
   private def toksSql(t: String): String =
     s"list_filter(string_split_regex(lower($t), '\\s+'), x -> x <> '')"
   // normalized text; DuckDB's array_to_string of an empty list is NULL, and
@@ -368,18 +399,28 @@ object SparkEntry {
     "CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')] " +
       "ELSE list_distinct(list_transform(range(1, len(toks) - 3), " +
       "i -> array_to_string(toks[i:i+4], ' '))) END"
-  /** all-pairs J≥τ near-dup pairs over a (id, s) shingle-set CTE named `sh`
-    * (size-ratio prefilter keeps the quadratic candidate join cheap:
-    * J ≥ τ ⇒ min(|A|,|B|) ≥ τ·max(|A|,|B|)).
+  /** all-pairs J≥τ near-dup pairs over a (id, s) shingle-set CTE named `sh`.
+    * Sound candidate pruning (no recall loss):
+    *   - PPJoin-style prefix filter: J ≥ τ ⇒ |A∩B| ≥ ⌈τ·|X|⌉ for each side,
+    *     so the (|X| − ⌈τ·|X|⌉ + 1)-prefixes under one global token order
+    *     must share a token — candidates come from an inverted-index join on
+    *     prefix tokens instead of the quadratic self-join;
+    *   - size-ratio filter: J ≥ τ ⇒ min(|A|,|B|) ≥ τ·max(|A|,|B|).
     */
-  private def nearPairsSql(idA: String = "a", idB: String = "b"): String =
+  private def nearPairsSql(idA: String = "a", idB: String = "b"): String = {
+    val pref = "SELECT id, unnest(list_slice(list_sort(s), 1, " +
+      "CAST(len(s) - ceil(0.7 * len(s)) + 1 AS INT))) AS tok FROM sh"
     s"""SELECT $idA, $idB, isz, la, lb FROM (
-       |  SELECT a.id AS $idA, b.id AS $idB, len(list_intersect(a.s, b.s)) AS isz,
-       |         len(a.s) AS la, len(b.s) AS lb
-       |  FROM sh a JOIN sh b
-       |    ON a.id < b.id
-       |   AND least(len(a.s), len(b.s)) >= 0.7 * greatest(len(a.s), len(b.s)))
+       |  SELECT c.a AS $idA, c.b AS $idB, len(list_intersect(x.s, y.s)) AS isz,
+       |         len(x.s) AS la, len(y.s) AS lb
+       |  FROM (SELECT DISTINCT pp.id AS a, qq.id AS b
+       |        FROM ($pref) pp JOIN ($pref) qq
+       |          ON pp.tok = qq.tok AND pp.id < qq.id) c
+       |  JOIN sh x ON x.id = c.a
+       |  JOIN sh y ON y.id = c.b
+       |  WHERE least(len(x.s), len(y.s)) >= 0.7 * greatest(len(x.s), len(y.s)))
        |WHERE isz * 1.0 / (la + lb - isz) >= 0.7""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "pages_exact_dedup" ->

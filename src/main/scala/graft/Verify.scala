@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (SparkEntry.pagesN(sfDir) != SparkEntry.oracleVerifyN)
+      System.err.println(s"[verify] WARNING: oracle globs for the synthesized " +
+        s"corpus are pinned to the sf0.01 sizes (n=${SparkEntry.oracleVerifyN}); " +
+        s"pages_* oracle rows will not correspond to $sfDir outputs")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

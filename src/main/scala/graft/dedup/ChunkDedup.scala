@@ -93,7 +93,10 @@ object ChunkDedup {
       .select(col("id").as("pos"), lit(cid).as("src_chkpt"), col("id").as("src_pos"))
     var resolved = first(cid).limit(0).select(col("pos"), col("chunk"))
     var cur = cid
-    while (cur >= 0) {
+    // early termination: stop as soon as every claim is resolved (the
+    // reference stops at ref_id / prunes via chkpts_needed — here the claim
+    // set itself empties when no older checkpoint is referenced)
+    while (cur >= 0 && !pending.isEmpty) {
       val pCur = pending.filter(col("src_chkpt") === cur)
         .select(col("pos"), col("src_pos"))
       val f = first(cur).select(col("pos").as("src_pos"), col("chunk"))
@@ -112,10 +115,12 @@ object ChunkDedup {
         .join(f.select("src_pos"), Seq("src_pos"), "left_anti")
         .join(sh.select("src_pos"), Seq("src_pos"), "left_anti")
         .select(col("pos"), lit(cur - 1).as("src_chkpt"), col("src_pos"))
-      resolved = resolved.union(hit).union(hit2)
+      // both accumulators need per-round lineage cuts: the loop otherwise
+      // nests O(chain length) union+join subtrees in the final plan
+      resolved = resolved.union(hit).union(hit2).localCheckpoint(true)
       pending = pending.filter(col("src_chkpt") =!= cur)
         .union(redirOld).union(fall)
-        .localCheckpoint(true) // cut the per-round lineage
+        .localCheckpoint(true)
       cur -= 1
     }
     resolved.select("pos", "chunk")
@@ -381,7 +386,15 @@ object ChunkDedup {
         shiftLeafMap = shiftLeafMap)
       results += res
 
-      // durable incremental checkpoint: the two file sections restart needs
+      // durable incremental checkpoint: the two file sections restart needs.
+      // Deliberately PER-LEAF shift entries, not per-region: the reference's
+      // region-compacted metadata relies on complete-subtree span arithmetic
+      // (kokkos_merkle_tree.hpp:102-142) whose [leftmost, rightmost] node
+      // ranges are only correct for aligned subtrees — in a ragged heap a
+      // coalesced subtree's leaf POSITIONS need not be contiguous (n=5:
+      // subtree(1) covers positions {0,3,4}). Per-leaf entries carry the
+      // same information, partition freely, and keep restart a pure
+      // equi-join; the region structure is still surfaced via the counts.
       store.foreach { st =>
         st.commit("chunk_first", cid, storedFirst,
           Map("num_chunks" -> numChunks.toString))

@@ -43,15 +43,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // every committed byte once more)
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    val parts = Files.list(tmp).iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .toArray.sortBy(_.toString)
-      .map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toString), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (p.getFileName.toString, r.getRecordCount) finally r.close()
-      }
+    val listing = Files.list(tmp)
+    val files =
+      try listing.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .toArray.sortBy(_.toString)
+      finally listing.close()
+    val parts = files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (p.getFileName.toString, r.getRecordCount) finally r.close()
+    }
     val rows = parts.map(_._2).sum
     val lineage = parts.map { case (f, n) => s"""{"file": ${q(f)}, "rows": $n}""" }
     val ms = (System.nanoTime() - t0) / 1000000
@@ -81,12 +83,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def latest(table: String): Option[Int] = {
     val t = Paths.get(root, table)
     if (!Files.exists(t)) return None
-    val snaps = Files.list(t).toArray.map(_.toString)
-      .flatMap { p =>
-        "snapshot=(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt)
-      }
-      .filter(isCommitted(table, _))
-    if (snaps.isEmpty) None else Some(snaps.max)
+    val listing = Files.list(t)
+    val snaps =
+      try listing.toArray.map(_.toString)
+        .flatMap { p =>
+          "snapshot=(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt)
+        }
+      finally listing.close()
+    val committed = snaps.filter(isCommitted(table, _))
+    if (committed.isEmpty) None else Some(committed.max)
   }
 
   def manifestJson(table: String, snap: Int): String =
