@@ -81,8 +81,10 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
       .join(keyed.select("doc_id", "text"), Seq("doc_id"))
       .select(col("ckey"), col("text"))
 
+    // fused features: shingles + MinHash signature + SimHash fingerprint in
+    // one tokenization pass per content (same kernel as the batch flagship)
     val newFeatures = store.stage("features", snap) {
-      MinHashLSH.features(freshContent, cfg, idCol = "ckey")
+      MinHashLSH.featuresFused(freshContent, cfg, idCol = "ckey")
         .withColumnRenamed("doc_id", "ckey")
     }
 
@@ -91,14 +93,28 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
         posexplode(gf.bands(col("sig"), cfg.bands)).as(Seq("band", "bh")))
     }
 
+    // SimHash block-combination probe index (recall supplement, same as the
+    // batch pipeline) — accumulated and probed new-vs-all like the bands
+    val newSimKeys = store.stage("sim_index", snap) {
+      newFeatures.select(col("ckey"),
+        explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks,
+          cfg.simhashMaxHamming)).as("skey"))
+    }
+
     // near-dup edges between content nodes — per-snapshot sets are disjoint
-    // (a pair surfaces exactly when its newer member arrives), so only the
-    // new edges are committed
+    // (a pair surfaces exactly when its newer member arrives, via either
+    // probe family), so only the new edges are committed
     val newEdges = store.stage("edges", snap) {
       val allBands = store.readRange("band_index", 0, snap).drop("snapshot_id")
-      val cand = newBands.select(col("band"), col("bh"), col("ckey").as("a"))
+      val candBand = newBands.select(col("band"), col("bh"), col("ckey").as("a"))
         .join(allBands.select(col("band"), col("bh"), col("ckey").as("b")),
           Seq("band", "bh"))
+        .select(col("a"), col("b"))
+      val allSim = store.readRange("sim_index", 0, snap).drop("snapshot_id")
+      val candSim = newSimKeys.select(col("skey"), col("ckey").as("a"))
+        .join(allSim.select(col("skey"), col("ckey").as("b")), Seq("skey"))
+        .select(col("a"), col("b"))
+      val cand = candBand.unionByName(candSim)
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct()
