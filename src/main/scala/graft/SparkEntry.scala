@@ -359,6 +359,11 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, dir) =>
       graft.sim.Ann.lshTopK(emb(s, dir), k = 5, bits = 10, tables = 6, seed = 7L)),
 
+    // Similarity search, IVF scale path: k-means coarse quantizer + cell
+    // probes — rows-only (recall vs exact asserted in TextMultimodalAnnSpec).
+    "ann_topk_ivf" -> ((s, dir) =>
+      graft.sim.Ann.ivfTopK(emb(s, dir), k = 5, nCells = 16, nProbe = 4)),
+
     // Multimodal: binary assets + stubbed batched decode — rows-only.
     "mm_decode_features" -> ((s, dir) =>
       graft.multimodal.Multimodal.decodeFeatures(

@@ -31,6 +31,74 @@ object Ann {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a deterministic distributed k-means coarse
+    * quantizer partitions the corpus into `nCells` cells; each vector lands
+    * in exactly one cell, queries probe their `nProbe` nearest cells and
+    * re-rank candidates with exact cosine. The index build is DataFrame-
+    * native (element-wise centroid means via posexplode + groupBy); only
+    * the per-row nearest-centroid argmax runs in mapPartitions over a
+    * broadcast centroid array — the classic kmeans assign step, O(dim·cells)
+    * per row with no shuffle.
+    *
+    * Scale shape: the corpus is never self-joined; candidate volume per
+    * query ≈ nProbe/nCells of the corpus. Centroids are tiny
+    * (cells × dim floats) and broadcast.
+    */
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              iters: Int = 3, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    def topCells(v: Array[Float], cs: Array[Array[Float]], n: Int): Array[Int] = {
+      val nv = norm(v)
+      cs.indices.map(c => c -> (if (nv == 0) 0.0 else dot(v, cs(c)) / (nv * norm(cs(c)))))
+        .sortBy(-_._2).take(n).map(_._1).toArray
+    }
+
+    // deterministic seeding: the nCells vectors with the smallest ids
+    var centroids: Array[Array[Float]] = vecs.orderBy("id").take(nCells).map(_._2)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = vecs.mapPartitions(_.map { case (id, v) =>
+        (topCells(v, bc.value, 1)(0), id, v)
+      }).toDF("cell", "id", "v")
+      // element-wise mean per cell — pure DataFrame aggregation
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      centroids = centroids.indices.map { c =>
+        val dim = centroids(c).length
+        Array.tabulate(dim)(p => means.getOrElse((c, p), centroids(c)(p).toDouble).toFloat)
+      }.toArray
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val index = vecs.mapPartitions(_.map { case (id, v) =>
+      (topCells(v, bc.value, 1)(0), id, v)
+    }).toDF("cell", "nbr", "nv")
+    val probes = vecs.mapPartitions(_.flatMap { case (id, v) =>
+      topCells(v, bc.value, nProbe).iterator.map(c => (c, id, v))
+    }).toDF("cell", "qid", "qv")
+    val sims = probes.join(index, "cell")
+      .filter(col("qid") =!= col("nbr"))
+      .select(col("qid"), col("nbr"),
+        round(gf.cosine(col("qv"), col("nv")), 6).as("sim"))
+    // no distinct needed: every corpus vector lives in exactly one cell,
+    // so a (qid, nbr) pair meets at most once across the probed cells
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr").asc)
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Approximate top-k for EVERY vector via SRP-LSH bucket collisions.
     * maxBucket guards degenerate buckets (skew: near-identical embedding
     * floods) — beyond it only the lowest-id star pairs are emitted.

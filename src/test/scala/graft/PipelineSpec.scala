@@ -60,6 +60,40 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     docsDF.unpersist()
   }
 
+  test("skew: a 5k near-duplicate flood flows through star edges into ONE cluster") {
+    // A boilerplate-style flood: 5000 near-copies (each with a few seeded
+    // word substitutions, so exact collapse does NOT remove them) on top of
+    // a normal corpus. Every LSH/SimHash bucket they share blows far past
+    // maxBucket=64, so candidate generation runs the hot-key star path —
+    // this asserts the END-TO-END behavior: bounded work AND preserved
+    // connectivity (one cluster), the skew guarantee the engine claims at
+    // web scale.
+    import spark.implicits._
+    val normal = PagesGen.pages(spark, 500, 42L, 8).select("doc_id", "text")
+    val baseWords = PagesGen.genText(42L, 0L)._1.split(" ")
+    val flood = spark.range(10000, 15000).map { id =>
+      val w = baseWords.clone()
+      // deterministic ~1% substitutions, different per doc
+      var i = (id % w.length).toInt
+      var k = 0
+      while (k < math.max(1, w.length / 100)) {
+        w(i) = "flood" + id + "x" + k
+        i = (i + 37) % w.length
+        k += 1
+      }
+      (id, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    val docs = normal.unionByName(flood).persist()
+    val res = NearDupPipeline.run(spark, docs, cfg)
+    val assign = res.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.size == 5500)
+    // the flood (plus its base, doc 0) coalesces into exactly one cluster
+    val floodClusters = (10000L until 15000L).map(assign).toSet
+    assert(floodClusters.size == 1, s"flood split into ${floodClusters.size} clusters")
+    assert(assign(0L) == floodClusters.head, "base doc must join its flood cluster")
+    docs.unpersist()
+  }
+
   test("exact dedup elects min doc_id and collapses groups") {
     import spark.implicits._
     val df = Seq(

@@ -91,5 +91,15 @@ class TextMultimodalAnnSpec extends AnyFunSuite with SparkTestBase {
     val exact = Ann.exactTopK(emb, Seq(0L, 1L, 2L), k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact == Map(0L -> 100L, 1L -> 101L, 2L -> 102L))
+
+    // IVF scale path: near-identical twins quantize to the same cell in
+    // almost all cases; probing 4 of 16 cells recovers the rest
+    val ivf = Ann.ivfTopK(emb, k = 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivfHits = (0 until 100).count { i =>
+      ivf.get(i.toLong).exists(_.contains(100L + i))
+    }
+    assert(ivfHits >= 90, s"IVF recall ${ivfHits}/100")
   }
 }
