@@ -170,6 +170,31 @@ object SparkEntry {
       chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step1, 1)).labels
     }),
 
+    // Update-pattern analysis (reference update_pattern_analysis.hpp —
+    // diagnostics over a checkpoint chain): per-position change frequency
+    // across 4 derived checkpoints; the F1 changed-filter applied chain-wide.
+    "chunk_update_pattern" -> ((s, dir) => {
+      val texts = docs(s, dir).orderBy("doc_id").limit(4)
+        .select("text").collect().map(_.getString(0))
+      val len = math.min(256, Seq(texts(0).length, 128 + texts(1).length,
+        64 + texts(2).length, 192 + texts(3).length).min)
+      val steps = Seq(
+        texts(0).take(len),
+        (texts(0).take(128) + texts(1)).take(len),
+        (texts(0).take(64) + texts(2)).take(len),
+        (texts(0).take(192) + texts(3)).take(len))
+      val all = steps.zipWithIndex.map { case (t, i) =>
+        graft.dedup.ChunkDedup.chunkify(s, t, 1)
+          .select(lit(i).as("step"), col("pos"), col("chunk"))
+      }.reduce(_ unionByName _)
+      val prev = all.select((col("step") + 1).as("step"), col("pos"),
+        col("chunk").as("prev_chunk"))
+      all.join(prev, Seq("step", "pos"))
+        .groupBy("pos")
+        .agg(sum(when(col("chunk") =!= col("prev_chunk"), 1L).otherwise(0L))
+          .as("n_changes"))
+    }),
+
     // J1/J2: first-occurrence election by content digest (groupBy + min) —
     // reference's insert-or-probe dedup core (list_approach.cpp:50-58).
     "dedup_exact_clusters" -> ((s, dir) =>
@@ -487,6 +512,27 @@ object SparkEntry {
         |SELECT i + n - 2 AS node,
         |       CASE WHEN i = w THEN 'FIRST_OCUR' ELSE 'SHIFT_DUPL' END AS label
         |FROM fresh""".stripMargin,
+    "chunk_update_pattern" ->
+      """WITH t AS (
+        |  SELECT any_value(CASE WHEN doc_id = 0 THEN text END) AS t0,
+        |         any_value(CASE WHEN doc_id = 1 THEN text END) AS t1,
+        |         any_value(CASE WHEN doc_id = 2 THEN text END) AS t2,
+        |         any_value(CASE WHEN doc_id = 3 THEN text END) AS t3
+        |  FROM documents WHERE doc_id IN (0, 1, 2, 3)),
+        |lens AS (SELECT CAST(least(256, length(t0), 128 + length(t1),
+        |                64 + length(t2), 192 + length(t3)) AS INT) AS L, t.*
+        |         FROM t),
+        |steps AS (
+        |  SELECT 0 AS step, substr(t0, 1, L) AS s FROM lens
+        |  UNION ALL SELECT 1, substr(substr(t0, 1, 128) || t1, 1, L) FROM lens
+        |  UNION ALL SELECT 2, substr(substr(t0, 1, 64) || t2, 1, L) FROM lens
+        |  UNION ALL SELECT 3, substr(substr(t0, 1, 192) || t3, 1, L) FROM lens),
+        |c AS (SELECT step, i, substr(s, CAST(i AS INT), 1) AS ch
+        |      FROM steps, generate_series(1, 256) AS g(i) WHERE i <= length(s))
+        |SELECT a.i - 1 AS pos,
+        |       CAST(sum(CASE WHEN a.ch <> b.ch THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+        |FROM c a JOIN c b ON a.step = b.step + 1 AND a.i = b.i
+        |GROUP BY a.i""".stripMargin,
     "pages_incremental_clusters" ->
       s"""WITH RECURSIVE
          |pn AS (SELECT snap, doc_id, ${ntSql("text")} AS nt FROM $incGlob),
