@@ -27,6 +27,19 @@ object Bench {
     val docsPerSec = nDocs / pipelineSec
     corpus.unpersist()
 
+    // representative throughput: the sf-scaled corpus (20k docs at sf0.1) is
+    // stage-latency-bound; a 100k-doc run shows the parallel-work rate the
+    // scaling section of BASELINE.md reports
+    val big = graft.pages.PagesGen.pages(spark, 100000L, 42L, cpus * 2)
+      .select("doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    big.count()
+    val tb0 = System.nanoTime()
+    graft.dedup.NearDupPipeline.run(spark, big, graft.dedup.DedupConfig())
+      .assignments.count()
+    val bigSec = (System.nanoTime() - tb0) / 1e9
+    val bigDocsPerSec = 100000L / bigSec
+    big.unpersist()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -36,7 +49,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipelineSec
     // driver contract shape (metric/value/unit/queries/sf) + throughput extras
-    println(s"""{"metric":"total","value":$total,"unit":"sec","dedup_docs_per_sec":$docsPerSec,"pipeline_sec":$pipelineSec,"pipeline_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","dedup_docs_per_sec":$docsPerSec,"pipeline_sec":$pipelineSec,"pipeline_docs":$nDocs,"dedup_docs_per_sec_100k":$bigDocsPerSec,"pipeline_sec_100k":$bigSec,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
