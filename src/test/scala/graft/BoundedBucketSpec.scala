@@ -31,6 +31,26 @@ class BoundedBucketSpec extends AnyFunSuite with SparkTestBase {
       (1000002L, 1000003L)))
   }
 
+  test("randomized: bounded kernel matches a naive per-bucket reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 3) {
+      val rows = (0 until 500)
+        .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(80).toLong)).distinct
+      val cap = 1 + rnd.nextInt(10)
+      val got = MinHashLSH.boundedBucketPairs(rows.toDF("key", "e"), Seq("key"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = rows.groupBy(_._1).values.flatMap { grp =>
+        val ms = grp.map(_._2).sorted
+        if (ms.length <= 1) Nil
+        else if (ms.length <= cap)
+          for (i <- ms.indices; j <- i + 1 until ms.length) yield (ms(i), ms(j))
+        else ms.tail.map(y => (ms.head, y))
+      }.toSet
+      assert(got == naive, s"trial $trial cap $cap")
+    }
+  }
+
   test("the aggregation state is O(1) per key: collect_list only runs below maxBucket") {
     import spark.implicits._
     // structural guarantee: the only per-key array aggregation in the plan
