@@ -25,6 +25,7 @@ object Bench {
     res.assignments.count()
     val pipelineSec = (System.nanoTime() - tp0) / 1e9
     val docsPerSec = nDocs / pipelineSec
+    res.close() // release pipeline intermediates before the query sweep
     corpus.unpersist()
 
     // representative throughput: the sf-scaled corpus (20k docs at sf0.1) is
@@ -34,11 +35,12 @@ object Bench {
       .select("doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
     big.count()
     val tb0 = System.nanoTime()
-    graft.dedup.NearDupPipeline.run(spark, big, graft.dedup.DedupConfig())
-      .assignments.count()
+    val bigRes = graft.dedup.NearDupPipeline.run(spark, big, graft.dedup.DedupConfig())
+    bigRes.assignments.count()
     val bigSec = (System.nanoTime() - tb0) / 1e9
     val bigDocsPerSec = 100000L / bigSec
-    big.unpersist()
+    bigRes.close() // a leaked 100k-doc feature table would pin memory for
+    big.unpersist() // the entire 36-query sweep below
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Checkpoint-size fidelity report (the reference paper's actual headline
+  * metric): metadata volume per incremental checkpoint vs the per-REGION
+  * lower bound.
+  *
+  * The reference stores one compact entry per coalesced region root
+  * (/root/reference/src/tree_approach.cpp:593-622 — a u32 node id for
+  * first-occurrence regions, a (chkpt, node) pair for shifted regions); this
+  * engine deliberately commits PER-LEAF shift entries (ChunkDedup.scala
+  * ragged-heap tradeoff). This probe measures what that deviation costs:
+  * for a chain of checkpoints with large aligned shifted regions it prints,
+  * per checkpoint, the stored row counts, the region-root counts (= the
+  * reference's entry counts), the ratio, and the logical byte volumes
+  * (ours: 20 B/leaf shift entry [pos u64 + src_chkpt u32 + src_pos u64],
+  * 8 B + chunk bytes per first leaf; reference bound: 4 B per FO region
+  * root + 12 B per shift region root) plus actual parquet bytes on disk.
+  *
+  * Deterministic workload: 4096 chunks × 8 B; each step moves a 512-chunk
+  * aligned block to a different aligned offset and stamps 32 chunks of
+  * fresh content — the shift-heavy regime where region compaction matters
+  * most (worst case for the per-leaf layout).
+  */
+object CheckpointSizeProbe {
+
+  private def dirBytes(p: Path): Long = {
+    if (!Files.exists(p)) return 0L
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+    finally s.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = GraftSession.get("local[8]", 8)
+    val chunkSize = 8
+    val nChunks = 4096
+    val len = chunkSize * nChunks
+
+    // deterministic base text with internal repetition (realistic dedup mix)
+    val base = new Array[Char](len)
+    var i = 0
+    while (i < len) {
+      base(i) = ('a' + (((i * 1315423911L) >>> 7) % 26)).toChar
+      i += 1
+    }
+    def step(k: Int): String = {
+      val prev = new Array[Char](len)
+      System.arraycopy(base, 0, prev, 0, len)
+      // k aligned 512-chunk block moves (content seen before, new position)
+      for (m <- 1 to k) {
+        val blk = 512 * chunkSize
+        val from = ((m * 3) % 7) * blk
+        val to = ((m * 5 + 1) % 7) * blk
+        val tmp = prev.slice(from, from + blk)
+        System.arraycopy(prev, to, prev, from, blk)
+        System.arraycopy(tmp, 0, prev, to, blk)
+      }
+      // 32 fresh chunks per step
+      val freshAt = (k % 8) * 512 * chunkSize
+      for (j <- 0 until 32 * chunkSize)
+        prev(freshAt + j) = ('A' + ((j * 31 + k * 17) % 26)).toChar
+      new String(prev)
+    }
+
+    val root = Files.createTempDirectory("graft_cksize").toString
+    val store = new graft.state.SnapshotStore(spark, root)
+    val chain = new graft.dedup.ChunkDedup.Chain(spark, nChunks.toLong,
+      store = Some(store))
+
+    println("[cksize] chkpt | first_rows shift_rows | fo_regions shift_regions | " +
+      "leaf/region ratio | ours_logical_B bound_logical_B | ours_disk_B")
+    var totOurs = 0L; var totBound = 0L; var totDisk = 0L
+    for (k <- 0 until 8) {
+      val r = chain.checkpoint(
+        graft.dedup.ChunkDedup.chunkify(spark, step(k), chunkSize))
+      val firstRows = store.committedRows("chunk_first", k)
+      val shiftRows = store.committedRows("chunk_shift", k)
+      val foRegions = r.numFirstOcur
+      val shRegions = r.numShiftDupl
+      // data section (first-occurrence chunk bytes) is identical under both
+      // layouts — only METADATA differs, so that is what's compared
+      val oursMeta = firstRows * 8 + shiftRows * 20
+      val boundMeta = foRegions * 4 + shRegions * 12
+      val disk = dirBytes(Paths.get(root, "chunk_first", s"snapshot=$k")) +
+        dirBytes(Paths.get(root, "chunk_shift", s"snapshot=$k"))
+      val ratio =
+        if (shRegions == 0) "-"
+        else f"${shiftRows.toDouble / shRegions}%.1f"
+      println(s"[cksize] $k | $firstRows $shiftRows | $foRegions $shRegions | " +
+        s"$ratio | meta ours=$oursMeta bound=$boundMeta | disk=$disk")
+      totOurs += oursMeta; totBound += boundMeta; totDisk += disk
+    }
+    println(s"[cksize] TOTAL metadata: ours=$totOurs B, per-region bound=$totBound B, " +
+      f"overhead ×${totOurs.toDouble / math.max(1, totBound)}%.1f; disk=$totDisk B")
+    spark.stop()
+  }
+}

@@ -27,7 +27,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   def get(master: String, shufflePartitions: Int = 32): SparkSession = {
-    val s = builder(master, shufflePartitions).getOrCreate()
+    val b = builder(master, shufflePartitions)
+    // experiment hook (ScalingBench/IncProbe latency attribution): AQE stays
+    // the product default — its skew-join splitting is load-bearing at scale
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      b.config("spark.sql.adaptive.enabled", (v != "0").toString))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

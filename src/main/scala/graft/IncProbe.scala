@@ -12,7 +12,7 @@ object IncProbe {
     val store = new graft.state.SnapshotStore(spark, root)
     val inc = new graft.dedup.IncrementalDedup(spark, store, graft.dedup.DedupConfig())
     val n = math.max(100L, SparkEntry.pagesN(sfDir) / 2)
-    val (snap0, snap1) = SparkEntry.incSnapshots(spark, n)
+    val (snap0, snap1) = SparkEntry.incSnapshots(spark, sfDir, n)
     for ((snap, df) <- Seq((0, snap0), (1, snap1))) {
       val t0 = System.nanoTime()
       // time each stage by watching manifest appearance: easier — just time
@@ -21,7 +21,7 @@ object IncProbe {
       val total = (System.nanoTime() - t0) / 1e9
       println(f"[probe] snapshot $snap total $total%.2f s")
       for (t <- Seq("pages_keyed", "changed", "registry", "features",
-        "band_index", "edges", "content_clusters", "assignments", "metrics")) {
+        "probe_index", "edges", "content_clusters", "assignments", "metrics")) {
         val j = store.manifestJson(t, snap)
         val ms = """"write_ms":\s*(\d+)""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("?")
         val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("?")

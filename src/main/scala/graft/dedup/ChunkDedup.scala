@@ -123,7 +123,15 @@ object ChunkDedup {
         .localCheckpoint(true)
       cur -= 1
     }
-    resolved.select("pos", "chunk")
+    // completeness gate: an inconsistent or truncated store (a claim whose
+    // first/shift row is missing, or pending claims left below chkpt 0)
+    // must fail loudly, not return a silently-shorter reconstruction
+    val out = resolved.select("pos", "chunk").localCheckpoint(true)
+    val got = out.count()
+    require(got == numChunks,
+      s"restart($cid) resolved only $got of $numChunks positions — store is " +
+        "inconsistent (missing first/shift rows or claims fell past chkpt 0)")
+    out
   }
 
   object Chain {

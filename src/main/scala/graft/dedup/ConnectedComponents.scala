@@ -82,10 +82,13 @@ object ConnectedComponents {
 
   /** Cluster assignment for every node: (id, cluster) with cluster = min id
     * of the node's component (singletons map to themselves). Chooses the
-    * local or distributed path by edge count.
+    * local or distributed path by edge count. `SPARK_GRAFT_CC_MAX` overrides
+    * the threshold (set it to 0 to force the distributed star rounds at
+    * bench scale — the once-per-round scaling evidence run).
     */
   def assignAll(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-                smallGraphMax: Long = SMALL_GRAPH_MAX): DataFrame = {
+                smallGraphMax: Long = sys.env.get("SPARK_GRAFT_CC_MAX")
+                  .map(_.toLong).getOrElse(SMALL_GRAPH_MAX)): DataFrame = {
     val e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()

@@ -43,14 +43,16 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
   def processSnapshot(snap: Int, pages: DataFrame): DataFrame = {
     val t0 = System.nanoTime()
 
+    // NARROW state: the store never duplicates the text lake (the input
+    // Iceberg table already holds it durably) — only (url, doc_id, ckey)
+    // rows are committed; text is joined back from `pages` for the few
+    // freshly registered contents below
     val keyed = store.stage("pages_keyed", snap) {
       pages.select(col("url"), col("doc_id"),
-        gf.contentKey64(col("text")).as("ckey"), col("text"))
+        gf.contentKey64(col("text")).as("ckey"))
     }
 
     // F1/F2 fixed fast path: only urls with new/changed content continue.
-    // Narrow rows — text stays in pages_keyed and is joined back only for
-    // the (few) freshly registered contents.
     val changed = store.stage("changed", snap) {
       val narrow = keyed.select("url", "doc_id", "ckey")
       if (snap == 0) narrow
@@ -65,6 +67,15 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
 
     // content registry (J1 insert-if-absent): ckey → content_id (min doc_id).
     // Append-only: this snapshot commits only its FRESH registrations.
+    // INVARIANT the cluster labels rely on: content_id is frozen at first
+    // registration (min doc_id among the registering snapshot's changed
+    // docs). A LOWER doc_id presenting an already-registered content in a
+    // later snapshot (a url reverting to older text) keeps the original
+    // content_id — the pages_incremental_clusters oracle elects cids the
+    // same way (min doc_id per content over ALL snapshots) only because the
+    // synthesized workload never re-presents a content from a smaller
+    // doc_id; a workload that does needs the oracle's cid election scoped
+    // to each content's earliest snapshot.
     def regUpTo(hi: Int): DataFrame =
       if (hi < 0) emptyReg()
       else store.readRange("registry", 0, hi).select("ckey", "content_id")
@@ -75,10 +86,11 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     val registry = regUpTo(snap)
 
     // fresh content of THIS snapshot: registered here, banded once, never
-    // re-processed (text comes from the electing document's row)
+    // re-processed (text comes from the electing document's INPUT row — the
+    // store holds no text)
     val freshContent = freshReg
       .select(col("ckey"), col("content_id").as("doc_id"))
-      .join(keyed.select("doc_id", "text"), Seq("doc_id"))
+      .join(pages.select("doc_id", "text"), Seq("doc_id"))
       .select(col("ckey"), col("text"))
 
     // fused features: shingles + MinHash signature + SimHash fingerprint in
@@ -88,35 +100,38 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
         .withColumnRenamed("doc_id", "ckey")
     }
 
-    val newBands = store.stage("band_index", snap) {
+    // ONE unified probe index, exactly like the batch pipeline's unioned
+    // key stream (NearDupPipeline): LSH band hashes (band index already
+    // folded into each 64-bit hash) + SimHash block-combination keys share
+    // the key space, the accumulation table and the probe — one commit and
+    // one bounded probe per snapshot instead of two
+    val newKeys = store.stage("probe_index", snap) {
       newFeatures.select(col("ckey"),
-        posexplode(gf.bands(col("sig"), cfg.bands)).as(Seq("band", "bh")))
-    }
-
-    // SimHash block-combination probe index (recall supplement, same as the
-    // batch pipeline) — accumulated and probed new-vs-all like the bands
-    val newSimKeys = store.stage("sim_index", snap) {
-      newFeatures.select(col("ckey"),
-        explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks,
-          cfg.simhashMaxHamming)).as("skey"))
+          explode(gf.bands(col("sig"), cfg.bands)).as("key"))
+        .unionByName(newFeatures.select(col("ckey"),
+          explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks,
+            cfg.simhashMaxHamming)).as("key")))
     }
 
     // near-dup edges between content nodes — per-snapshot sets are disjoint
     // (a pair surfaces exactly when its newer member arrives, via either
     // probe family), so only the new edges are committed
     val newEdges = store.stage("edges", snap) {
-      val allBands = store.readRange("band_index", 0, snap).drop("snapshot_id")
-      val candBand = newBands.select(col("band"), col("bh"), col("ckey").as("a"))
-        .join(allBands.select(col("band"), col("bh"), col("ckey").as("b")),
-          Seq("band", "bh"))
-        .select(col("a"), col("b"))
-      val allSim = store.readRange("sim_index", 0, snap).drop("snapshot_id")
-      val candSim = newSimKeys.select(col("skey"), col("ckey").as("a"))
-        .join(allSim.select(col("skey"), col("ckey").as("b")), Seq("skey"))
-        .select(col("a"), col("b"))
-      val cand = candBand.unionByName(candSim)
-        .filter(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      // bounded new-vs-accumulated probes: same hot-key star guard as the
+      // batch pipeline (a boilerplate band key with 10⁶ accumulated entries
+      // × 10³ new arrivals must emit 10³ candidates, not 10⁹); ckeys are
+      // registered exactly once so new/old element sets are disjoint, the
+      // kernel's contract
+      val oldKeys =
+        if (snap == 0)
+          store.read("probe_index", snap).limit(0).select("key", "ckey")
+        else store.readRange("probe_index", 0, snap - 1).select("key", "ckey")
+      val cand = MinHashLSH.boundedProbePairs(
+          newKeys.select(col("key"), col("ckey").as("e")),
+          oldKeys.withColumnRenamed("ckey", "e"),
+          Seq("key"), cfg.maxBucket)
+        .filter(col("p") =!= col("q"))
+        .select(least(col("p"), col("q")).as("a"), greatest(col("p"), col("q")).as("b"))
         .distinct()
       val allFeatures = store.readRange("features", 0, snap)
         .select(col("ckey").as("doc_id"), col("sh"))

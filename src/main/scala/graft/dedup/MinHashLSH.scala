@@ -81,6 +81,14 @@ object MinHashLSH {
   def boundedBucketPairs(keyRows: DataFrame, keyCols: Seq[String],
                          maxBucket: Int): DataFrame = {
     val k = keyCols.map(col)
+    // CONTRACT: (key, e) rows should be unique — every caller's key family
+    // emits one row per (key, element) by construction (band hashes, block
+    // combinations, winnow positions, SRP table buckets). A violating
+    // duplicate row can only DEMOTE its bucket to star edges early (cnt is
+    // a row count — one shuffle; count_distinct would cost a second
+    // (key,e)-keyed exchange of the full probe stream) and duplicate star
+    // edges (callers dedup pairs); it can never produce self-pairs —
+    // smallPairs aggregates a SET and the hot path filters e =!= mn.
     val stats = keyRows.groupBy(k: _*)
       .agg(min(col("e")).as("mn"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -92,10 +100,57 @@ object MinHashLSH {
         |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS p, y AS q))))"""
         .stripMargin
     val smallPairs = joined.filter(col("cnt") <= maxBucket)
-      .groupBy(k: _*).agg(sort_array(collect_list(col("e"))).as("ids"))
+      .groupBy(k: _*).agg(sort_array(collect_set(col("e"))).as("ids"))
       .select(explode(expr(smallPairsExpr)).as("pr"))
       .select(col("pr.p").as("p"), col("pr.q").as("q"))
     smallPairs.union(hotPairs)
+  }
+
+  /** Incremental new-vs-accumulated candidate pairs with the SAME hot-key
+    * guard as [[boundedBucketPairs]] — the probe-side analogue for an
+    * append-only index (IncrementalDedup): emits only pairs touching a NEW
+    * element, so per-snapshot edge sets stay disjoint and no old pair is
+    * ever re-verified.
+    *
+    * `newRows` and `oldRows` carry columns `keyCols :+ "e"` and must be
+    * element-disjoint (new content is registered exactly once — the caller's
+    * invariant). Per key:
+    *
+    *   - total distinct size ≤ maxBucket: plain new×(old∪new) equi-join
+    *     (the previous unbounded behavior, now gated);
+    *   - hot keys: star edges (anchor, e_new) streamed one-in/one-out, where
+    *     anchor = min OLD element when any exists (so a hot bucket's new
+    *     minimum still links into the component its old members already
+    *     form), else min new element.
+    *
+    * A boilerplate band key with 10⁶ accumulated entries × 10³ new arrivals
+    * therefore emits ≤10³ candidate rows, not 10⁹.
+    */
+  def boundedProbePairs(newRows: DataFrame, oldRows: DataFrame,
+                        keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val k = keyCols.map(col)
+    // same unique-(key, e) caller contract as boundedBucketPairs (the
+    // committed index tables hold one row per (content, key) by
+    // construction); disjointness ⇒ the counts add exactly
+    val so = oldRows.groupBy(k: _*)
+      .agg(count(lit(1)).as("cnt_old"), min(col("e")).as("mn_old"))
+    val sn = newRows.groupBy(k: _*)
+      .agg(count(lit(1)).as("cnt_new"), min(col("e")).as("mn_new"))
+    val stats = sn.join(so, keyCols, "left").select(
+      k :+ (coalesce(col("cnt_old"), lit(0L)) + col("cnt_new")).as("cnt")
+        :+ coalesce(col("mn_old"), col("mn_new")).as("anchor"): _*)
+    val smallKeys = stats.filter(col("cnt") <= maxBucket).select(k: _*)
+    val all = oldRows.unionByName(newRows)
+    val small = newRows.join(smallKeys, keyCols, "left_semi")
+      .withColumnRenamed("e", "p")
+      .join(all.withColumnRenamed("e", "q"), keyCols)
+      .filter(col("p") =!= col("q"))
+      .select(col("p"), col("q"))
+    val hot = newRows
+      .join(stats.filter(col("cnt") > maxBucket), keyCols)
+      .filter(col("e") =!= col("anchor"))
+      .select(col("anchor").as("p"), col("e").as("q"))
+    small.union(hot)
   }
 
   /** Candidate pairs (a < b) from bucketed probe keys: one hash-shuffle on

@@ -16,11 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object NearDupPipeline {
 
-  case class Result(
-      assignments: DataFrame, // (id, cluster)
-      pairs: DataFrame,       // verified near-dup pairs (a, b, jac)
-      exactEdges: DataFrame,  // exact-dup edges (a, b)
-      metrics: DataFrame)     // one-row stage metrics
+  /** Pipeline handle. `pairs`/`exactEdges` are plans over persisted
+    * intermediates; `assignments` is LAZY — a pairs-only caller never pays
+    * connected components (whose local-vs-distributed dispatch must count
+    * the edge set eagerly). `close()` releases the persisted frames once the
+    * caller has materialized what it needs.
+    */
+  final class Result private[NearDupPipeline](
+      spark: SparkSession,
+      nodes: DataFrame,
+      val pairs: DataFrame,       // verified near-dup pairs (a, b, jac)
+      val exactEdges: DataFrame,  // exact-dup edges (a, b)
+      mkMetrics: () => DataFrame,
+      persisted: Seq[DataFrame]) {
+    /** (id, cluster) for every input doc — clustering runs on first access. */
+    lazy val assignments: DataFrame = ConnectedComponents.assignAll(spark, nodes,
+      exactEdges.select("a", "b").union(pairs.select("a", "b")))
+    lazy val metrics: DataFrame = mkMetrics()
+    /** Unpersist pipeline intermediates (results computed from them stay
+      * valid — they recompute if re-evaluated after close). */
+    def close(): Unit = persisted.foreach(_.unpersist())
+  }
 
   def run(spark: SparkSession, docs: DataFrame, cfg: DedupConfig = DedupConfig(),
           idCol: String = "doc_id", textCol: String = "text",
@@ -52,15 +68,15 @@ object NearDupPipeline {
     val pairs = MinHashLSH.verifiedPairs(feats, cand, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 5. clustering over exact ∪ near edges; every input doc is a node
-    val edges = exactEdges.select("a", "b").union(pairs.select("a", "b"))
+    // 5. clustering (lazy, inside Result) over exact ∪ near edges; every
+    // input doc is a node
     val nodes = docs.select(col(idCol).as("id"))
-    val assignments = ConnectedComponents.assignAll(spark, nodes, edges)
 
     // lazy metrics plan — counts only run if the caller materializes it
-    val metrics = docs.agg(count(lit(1)).as("n_docs"))
+    def metrics = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(reps.agg(count(lit(1)).as("n_distinct_text")))
       .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs")))
-    Result(assignments, pairs, exactEdges, metrics)
+    new Result(spark, nodes, pairs, exactEdges, () => metrics,
+      Seq(exact, feats, pairs))
   }
 }

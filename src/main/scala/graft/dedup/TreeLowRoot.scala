@@ -70,6 +70,7 @@ object TreeLowRoot {
       firstDupl.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(node)
 
     val isFirstDupl = new java.util.HashSet[Long]()
+    val freshLeaves = Array.newBuilder[(Long, Digest)]
     for (pos <- 0 until n) {
       val node = leafBase + pos
       val d = key(leaves(pos))
@@ -82,13 +83,13 @@ object TreeLowRoot {
         labels(pos) = "FIRST_DUPL"
         addMember(d, node)
         isFirstDupl.add(node)
+        freshLeaves += ((node.toLong, d))
       }
     }
 
-    // 2. FIRST_DUPL forest, bottom-up in DESCENDING node order — member
-    // lists keep the reference's insertion order (leaves ascending from the
-    // labeling loop, internals descending from this one), which the pruning
-    // scan below is sensitive to (reference_impl.hpp:329-345)
+    // 2. FIRST_DUPL forest, bottom-up in DESCENDING node order
+    // (reference_impl.hpp:329-345)
+    val internals = Array.newBuilder[(Long, Digest)]
     var node = n - 2
     while (node >= 0) {
       val l = 2L * node + 1; val r = 2L * node + 2
@@ -97,12 +98,46 @@ object TreeLowRoot {
           nodeDigest.get(l).toArray ++ nodeDigest.get(r).toArray))
         nodeDigest.put(node.toLong, pd)
         isFirstDupl.add(node.toLong)
-        addMember(pd, node.toLong)
+        internals += ((node.toLong, pd))
       }
       node -= 1
     }
 
-    // 3. root pruning to fixpoint (reference_impl.hpp:348-372)
+    // 3+4. shared driver kernel (order-sensitive pruning + election)
+    val winners = pruneAndElect(freshLeaves.result(), internals.result())
+    for (pos <- 0 until n if labels(pos) == "FIRST_DUPL") {
+      val d = nodeDigest.get((leafBase + pos).toLong)
+      labels(pos) = if (winners(d) == leafBase + pos) FIRST else SHIFT
+    }
+    (labels, winners)
+  }
+
+  /** Root-pruning fixpoint + lowest-root election over one checkpoint's
+    * fresh-duplicated forest — the ONLY serial piece of the distributed
+    * path, bounded by the number of FRESH nodes (not the checkpoint size).
+    *
+    * @param leafMembers fresh leaves (node, digest) — any order
+    * @param internals   forest internal nodes (node, digest) — any order
+    * @return digest → elected node, for every fresh leaf digest
+    *
+    * Member-list order replays the reference exactly: leaves in ascending
+    * node order (the labeling loop), then internals in DESCENDING node
+    * order (the bottom-up build loop) — the pruning scan is sensitive to it
+    * (reference_impl.hpp:329-345).
+    */
+  private[dedup] def pruneAndElect(leafMembers: Array[(Long, Digest)],
+                                   internals: Array[(Long, Digest)]): Map[Digest, Long] = {
+    val nodeDigest = new java.util.HashMap[Long, Digest]()
+    val firstDupl = new java.util.HashMap[Digest, java.util.ArrayList[Long]]()
+    def addMember(d: Digest, node: Long): Unit =
+      firstDupl.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(node)
+    val leavesAsc = leafMembers.sortBy(_._1)
+    leavesAsc.foreach { case (n, d) => nodeDigest.put(n, d); addMember(d, n) }
+    internals.sortBy(x => -x._1).foreach { case (n, d) =>
+      nodeDigest.put(n, d); addMember(d, n)
+    }
+
+    // root pruning to fixpoint (reference_impl.hpp:348-372)
     def climb(u: Long): Long = {
       var cur = u
       while (cur > 0 && {
@@ -112,11 +147,11 @@ object TreeLowRoot {
       }) cur = (cur - 1) / 2
       cur
     }
-    // Faithful per-entry scan (reference_impl.hpp:348-372): track the MIN
-    // root seen so far; a member whose root EQUALS the current min erases
-    // that root's digest and restarts the entry. Entry order is the only
-    // freedom the C++ leaves to the hash map — fixed here to byte-
-    // lexicographic digest order for determinism.
+    // Faithful per-entry scan: track the MIN root seen so far; a member
+    // whose root EQUALS the current min erases that root's digest and
+    // restarts the entry. Entry order is the only freedom the C++ leaves to
+    // the hash map — fixed here to byte-lexicographic digest order for
+    // determinism.
     val entryOrder = {
       import scala.jdk.CollectionConverters._
       firstDupl.keySet().asScala.toSeq.sortBy(_.toArray.map(_ & 0xff).toSeq)(
@@ -139,27 +174,127 @@ object TreeLowRoot {
       }
     }
 
-    // 4. election: lowest surviving root wins (reference_impl.hpp:375-399)
+    // election: lowest surviving root wins (reference_impl.hpp:375-399)
     val winners = scala.collection.mutable.Map.empty[Digest, Long]
-    for (pos <- 0 until n if labels(pos) == "FIRST_DUPL") {
-      val d = nodeDigest.get((leafBase + pos).toLong)
-      if (!winners.contains(d)) {
-        val members = firstDupl.get(d)
-        var bestRoot = Long.MaxValue; var select = Long.MaxValue
-        val ms = members.iterator()
-        while (ms.hasNext) {
-          val u = ms.next()
-          val r = climb(u)
-          if (r < bestRoot) { bestRoot = r; select = u }
-        }
-        winners(d) = select
+    for ((_, d) <- leavesAsc if !winners.contains(d)) {
+      val members = firstDupl.get(d)
+      var bestRoot = Long.MaxValue; var select = Long.MaxValue
+      val ms = members.iterator()
+      while (ms.hasNext) {
+        val u = ms.next()
+        val r = climb(u)
+        if (r < bestRoot) { bestRoot = r; select = u }
       }
+      winners(d) = select
     }
-    for (pos <- 0 until n if labels(pos) == "FIRST_DUPL") {
-      val d = nodeDigest.get((leafBase + pos).toLong)
-      labels(pos) = if (winners(d) == leafBase + pos) FIRST else SHIFT
+    winners.toMap
+  }
+
+  /** DISTRIBUTED low-root chain — the Spark shape of the reference's device
+    * kernel (tree_low_root_approach.cpp:55-214): leaf hashing, FIXED/SHIFT/
+    * fresh labeling and the FIRST_DUPL forest build (root pointers carried
+    * level-by-level through a thin sweep, geometrically shrinking frontier)
+    * all run as Spark jobs over (node, digest) rows; only the
+    * order-sensitive root-pruning fixpoint + election run on the driver,
+    * over the COLLECTED fresh-duplicated forest — O(#fresh nodes), which an
+    * incremental chain keeps ≪ checkpoint size (checkpoint 0 is the worst
+    * case). Output-identical to the serial [[Chain]] (TreeLowRootSpec
+    * asserts parity at 4096 chunks); a checkpoint with 10⁸ chunks and a few
+    * 10⁵ fresh ones never materializes the leaf set on the driver.
+    */
+  final class DistChain(spark: SparkSession, numChunks: Long) {
+    require(numChunks >= 1)
+    private val leafBase = numChunks - 1
+    private val maxLevel = // level of the last node 2n-2; level(i) = ⌊log2(i+1)⌋
+      63 - java.lang.Long.numberOfLeadingZeros(2 * numChunks - 1)
+    private var prevLeaves: DataFrame = _ // (node, digest)
+    private var global: DataFrame = _     // (digest) — cross-checkpoint map
+
+    private def globalOrEmpty(): DataFrame =
+      if (global == null) {
+        import spark.implicits._
+        Seq.empty[Array[Byte]].toDF("digest")
+      } else global
+
+    def checkpoint(chunks: DataFrame): LowRootResult = {
+      import spark.implicits._
+      val leaves = chunks
+        .select((col("pos") + leafBase).as("node"),
+          gf.murmur128(col("chunk")).as("digest"))
+        .localCheckpoint(true)
+
+      // 1. labeling (distributed): FIXED by position-equality vs previous
+      // checkpoint; SHIFT by global-map semi-probe; FIRST_DUPL otherwise
+      val (fixed, rest) =
+        if (prevLeaves == null) (leaves.limit(0), leaves)
+        else {
+          val p = prevLeaves.select(col("node"), col("digest").as("pd"))
+          val j = leaves.join(p, Seq("node"), "left")
+          (j.filter(col("pd") === col("digest")).drop("pd"),
+            j.filter(col("pd").isNull || col("pd") =!= col("digest")).drop("pd"))
+        }
+      val g = globalOrEmpty()
+      val shiftedG = rest.join(g, Seq("digest"), "left_semi")
+      val fresh = rest.join(g, Seq("digest"), "left_anti").localCheckpoint(true)
+
+      // 2. FIRST_DUPL forest via the thin level sweep: a parent forms iff
+      // BOTH children are forest nodes — order-free (same fixpoint as the
+      // reference's descending-node serial loop); each level is one narrow
+      // groupBy over the live frontier only
+      var frontier = fresh.select("node", "digest")
+      var internalsDf = frontier.limit(0)
+      var l = maxLevel - 1
+      while (l >= 0) {
+        val withLvl = frontier
+          .withColumn("lvl", floor(log2(col("node") + 1)).cast("int"))
+        val lvlNodes = withLvl.filter(col("lvl") === l + 1).drop("lvl")
+        val restF = withLvl.filter(col("lvl") =!= l + 1).drop("lvl")
+        val parents = lvlNodes
+          .withColumn("parent", ((col("node") - 1) / 2).cast("long"))
+          .withColumn("is_left", (col("node") % 2) === 1)
+          .groupBy("parent").agg(
+            count(lit(1)).as("cnt"),
+            max(when(col("is_left"), col("digest"))).as("dl"),
+            max(when(!col("is_left"), col("digest"))).as("dr"))
+          .filter(col("cnt") === 2)
+          .select(col("parent").as("node"),
+            gf.murmur128(concat(col("dl"), col("dr"))).as("digest"))
+          .localCheckpoint(true)
+        internalsDf = internalsDf.union(parents)
+        frontier = restF.union(parents).localCheckpoint(true)
+        l -= 1
+      }
+
+      // 3+4. driver kernel over the collected FRESH forest only
+      def collectPairs(df: DataFrame): Array[(Long, Digest)] =
+        df.select("node", "digest") // USING-joins reorder columns upstream
+          .collect().map(r => (r.getLong(0), key(r.getAs[Array[Byte]](1))))
+      val winners = pruneAndElect(collectPairs(fresh), collectPairs(internalsDf))
+
+      // relabel fresh leaves by the election (one broadcast-sized join)
+      val winnersDf = winners.toSeq.map { case (d, n) => (d.toArray, n) }
+        .toDF("digest", "win_node")
+      val freshLab = fresh.join(winnersDf, Seq("digest"))
+        .select(col("node"),
+          when(col("node") === col("win_node"), FIRST).otherwise(SHIFT).as("label"))
+      val labels = freshLab
+        .union(fixed.select(col("node"), lit(FIXED).as("label")))
+        .union(shiftedG.select(col("node"), lit(SHIFT).as("label")))
+        .localCheckpoint(true)
+
+      // elected digests enter the cross-checkpoint map (= all fresh leaf
+      // digests; reference_impl.hpp:396-398)
+      global = globalOrEmpty().unionByName(fresh.select("digest").distinct())
+        .distinct().localCheckpoint(true)
+      prevLeaves = leaves
+
+      val byLabel = labels.groupBy("label").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      LowRootResult(labels,
+        byLabel.getOrElse(FIRST, 0L),
+        byLabel.getOrElse(SHIFT, 0L),
+        byLabel.getOrElse(FIXED, 0L))
     }
-    (labels, winners.toMap)
   }
 
   /** Stateful low-root dedup chain (chunk-size-1 style golden harness, like

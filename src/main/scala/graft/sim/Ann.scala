@@ -31,8 +31,14 @@ object Ann {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** IVF (inverted-file) ANN: a deterministic distributed k-means coarse
-    * quantizer partitions the corpus into `nCells` cells; each vector lands
+  /** IVF (inverted-file) ANN: a distributed k-means coarse quantizer
+    * (deterministically SEEDED — lowest-id vectors; centroid means are
+    * float sums whose partial-aggregation order Spark does not fix, so
+    * borderline vectors can in principle flip cells between runs; the
+    * centroid components are rounded to 1e-4 below, which collapses the
+    * overwhelmingly common tiny-jitter case, and the driver-facing recall
+    * gate leaves threshold margin for the rest)
+    * partitions the corpus into `nCells` cells; each vector lands
     * in exactly one cell, queries probe their `nProbe` nearest cells and
     * re-rank candidates with exact cosine. The index build is DataFrame-
     * native (element-wise centroid means via posexplode + groupBy); only
@@ -78,7 +84,11 @@ object Ann {
         .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
       centroids = centroids.indices.map { c =>
         val dim = centroids(c).length
-        Array.tabulate(dim)(p => means.getOrElse((c, p), centroids(c)(p).toDouble).toFloat)
+        // round to 1e-4: absorbs partial-aggregation-order jitter in the
+        // float mean so repeated runs almost always see identical centroids
+        Array.tabulate(dim) { p =>
+          (math.rint(means.getOrElse((c, p), centroids(c)(p).toDouble) * 1e4) / 1e4).toFloat
+        }
       }.toArray
     }
 
@@ -97,6 +107,35 @@ object Ann {
     // so a (qid, nbr) pair meets at most once across the probed cells
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr").asc)
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** SRP-LSH bucketed THRESHOLD pair join: all candidate pairs with exact
+    * cosine ≥ tau, candidates from bucket collisions — the scale path for
+    * `emb_cosine_pairs` (a nested-loop threshold join is O(n²) by
+    * construction; this is linear in collisions). Recall is the SRP
+    * collision probability, partial at low tau by design — the exact join
+    * remains the verified baseline at oracle scale. Output (a, b, sim) with
+    * a < b, matching the exact form's schema.
+    */
+  def srpThresholdPairs(emb: DataFrame, tau: Double, bits: Int = 6,
+                        tables: Int = 12, seed: Long = 42L, maxBucket: Int = 512,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketCols = (0 until tables).map(t =>
+      gf.srpBucket(col(vecCol), bits, seed + t).as(s"b$t"))
+    val bucketed = emb.select(col(idCol).as("id") +: col(vecCol).as("v") +: bucketCols: _*)
+      .select(col("id"),
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq("table", "bucket")))
+    val cand = graft.dedup.MinHashLSH.boundedBucketPairs(
+        bucketed.select(col("table"), col("bucket"), col("id").as("e")),
+        Seq("table", "bucket"), maxBucket)
+      .select(least(col("p"), col("q")).as("a"), greatest(col("p"), col("q")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("sim", round(gf.cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= tau)
+      .select(col("a"), col("b"), col("sim"))
   }
 
   /** Approximate top-k for EVERY vector via SRP-LSH bucket collisions.

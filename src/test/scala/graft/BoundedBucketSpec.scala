@@ -51,7 +51,7 @@ class BoundedBucketSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("the aggregation state is O(1) per key: collect_list only runs below maxBucket") {
+  test("the aggregation state is O(1) per key: collect_set only runs below maxBucket") {
     import spark.implicits._
     // structural guarantee: the only per-key array aggregation in the plan
     // sits behind the cnt <= maxBucket filter, so its groups are bounded by
@@ -59,9 +59,9 @@ class BoundedBucketSpec extends AnyFunSuite with SparkTestBase {
     val rows = spark.range(1000).select((col("id") % 10).as("key"), col("id").as("e"))
     val plan = MinHashLSH.boundedBucketPairs(rows, Seq("key"), maxBucket = 4)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("collect_list"), plan)
-    // the branch feeding collect_list filters on cnt <= 4
-    val aggIdx = plan.indexOf("collect_list")
+    assert(plan.contains("collect_set"), plan)
+    // the branch feeding collect_set filters on cnt <= 4
+    val aggIdx = plan.indexOf("collect_set")
     val filtered = plan.substring(aggIdx)
     assert(filtered.contains("<= 4") || plan.substring(0, aggIdx).contains("<= 4"), plan)
   }

@@ -45,9 +45,14 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(assign1.size == n + m)
 
     // oracle over ALL content ever seen (reference semantics: old checkpoints
-    // stay valid dedup sources), projected onto snapshot-1 documents
+    // stay valid dedup sources), projected onto snapshot-1 documents. The
+    // store holds no text (narrow state) — recompute (ckey, text) from the
+    // snapshot inputs, exactly what the engine keyed.
+    val allKeyed = snapshotPages(0, n, m).select("doc_id", "text")
+      .unionByName(snapshotPages(1, n, m).select("doc_id", "text"))
+      .withColumn("ckey", graft.functions.gf.contentKey64(col("text")))
     val contents = store.readRange("registry", 0, 1).select("ckey", "content_id")
-      .join(store.readRange("pages_keyed", 0, 1)
+      .join(allKeyed
         .groupBy("ckey").agg(min(struct(col("doc_id"), col("text"))).as("w"))
         .select(col("ckey"), col("w.text").as("text")), Seq("ckey"))
       .select("content_id", "text").collect()
@@ -101,5 +106,51 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     // manifests carry per-partition lineage
     val mj = store.manifestJson("edges", 1)
     assert(mj.contains("\"partitions\"") && mj.contains("\"rows\""))
+  }
+
+  test("incremental probe path: hot-key flood stays bounded and coalesces into one cluster") {
+    // Mirror of PipelineSpec's batch flood, on the INCREMENTAL new-vs-all
+    // probe joins: snapshot 0 accumulates a 1500-doc near-duplicate flood
+    // (every shared band/simhash bucket far past maxBucket=64), snapshot 1
+    // probes 1500 MORE flood arrivals against the accumulated index. The
+    // bounded probe kernel must emit star candidates (≤ one row per new
+    // member) instead of the 1500×3000 cross product, and connectivity must
+    // survive: all flood docs + the base land in ONE cluster.
+    import spark.implicits._
+    val baseWords = PagesGen.genText(42L, 0L)._1.split(" ")
+    def floodDf(lo: Long, hi: Long): DataFrame = spark.range(lo, hi).map { id =>
+      val w = baseWords.clone()
+      var i = (id % w.length).toInt
+      var k = 0
+      while (k < math.max(1, w.length / 100)) {
+        w(i) = "flood" + id + "x" + k
+        i = (i + 37) % w.length
+        k += 1
+      }
+      (s"https://flood.example/p$id", id, w.mkString(" "))
+    }.toDF("url", "doc_id", "text")
+    val normal = PagesGen.pages(spark, 200, 42L, 4).select("url", "doc_id", "text")
+    val snap0 = normal.unionByName(floodDf(10000, 11500))
+    val snap1 = snap0.unionByName(floodDf(11500, 13000))
+
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft_inc_flood").toString)
+    val inc = new IncrementalDedup(spark, store, cfg)
+    inc.processSnapshot(0, snap0)
+    val assign = inc.processSnapshot(1, snap1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.size == 200 + 3000)
+    val floodClusters = (10000L until 13000L).map(assign).toSet
+    assert(floodClusters.size == 1, s"flood split into ${floodClusters.size} clusters")
+    assert(assign(0L) == floodClusters.head, "base doc must join its flood cluster")
+    // bounded emission, not a cross product: each hot bucket emits ONE star
+    // edge per new member, so committed edges are ≤ (#probe keys per doc:
+    // 32 bands + 20 simhash combinations = 52, anchors differ per bucket) ×
+    // new members ≈ 80k — LINEAR in flood size; the unbounded join would
+    // verify and commit the full pairwise set (≥ 1.1M for snapshot 0 alone)
+    val e0 = store.committedRows("edges", 0)
+    val e1 = store.committedRows("edges", 1)
+    assert(e0 < 52L * 1500 * 2 && e1 < 52L * 1500 * 2,
+      s"edge volume not bounded: $e0 / $e1")
   }
 }

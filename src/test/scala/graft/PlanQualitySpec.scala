@@ -28,20 +28,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       s"columns not pruned:\n$scan")
   }
 
+  // descend through AQE wrappers — AdaptiveSparkPlanExec and QueryStageExec
+  // hold their subtree in a field, not in `children`, so a bare collect
+  // sees none of the physical tree
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
   test("exact-top-k: query side broadcasts (corpus never shuffles)") {
     val plan = executed(SparkEntry.queries("ann_topk_exact")(spark, sfDir))
-    // descend through AQE wrappers — AdaptiveSparkPlanExec and QueryStageExec
-    // hold their subtree in a field, not in `children`, so a bare collect
-    // sees none of the physical tree
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case o => o.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     val broadcasts = flatten(plan).collect {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b.toString
     }
@@ -65,6 +66,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     val codegenStr = wsc.map(_.toString).mkString
     assert(codegenStr.contains("shingles") && codegenStr.contains("minhashsig"),
       "shingle/minhash expressions fell out of the codegen span")
+  }
+
+  test("prefix_scan: the full-table window is partitioned; only the tiny per-chunk total table may use a global window") {
+    val plan = executed(SparkEntry.queries("prefix_scan")(spark, sfDir))
+    val windows = flatten(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no window exec in:\n$plan")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the per-chunk local scan must be a PARTITIONED window")
+    // any partition-less window must sit above an aggregate (≤ parallelism
+    // rows — the per-chunk totals), never over the raw table
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val belowAgg = flatten(w).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+      assert(belowAgg,
+        s"single-partition window over a non-aggregated input (the canonical scale-killer):\n$w")
+    }
   }
 
   test("exact dedup election is one shuffle over narrow rows") {
