@@ -40,11 +40,15 @@ object CheckpointSizeProbe {
     val nChunks = 4096
     val len = chunkSize * nChunks
 
-    // deterministic base text with internal repetition (realistic dedup mix)
+    // deterministic base text with DISTINCT chunks (fmix-mixed chars): the
+    // baseline checkpoint's first forest then covers the whole tree, so
+    // later aligned block moves can coalesce — the regime the reference's
+    // region compaction is built for (a weak LCG here left only 221 distinct
+    // chunks and no coalescing fuel)
     val base = new Array[Char](len)
     var i = 0
     while (i < len) {
-      base(i) = ('a' + (((i * 1315423911L) >>> 7) % 26)).toChar
+      base(i) = ('a' + (graft.functions.Impl.fmix64(i.toLong) & 0x7fffffffL) % 26).toChar
       i += 1
     }
     def step(k: Int): String = {
