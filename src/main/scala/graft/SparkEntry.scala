@@ -765,6 +765,52 @@ object SparkEntry {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // The long-repeat pass emits ALL maximal repeated spans ≥ minLen=35
+    // (= gram 24 + window 12 − 1, the winnowing guarantee) over lowercased
+    // text, cross-doc and in-doc, each extended to its maximal extent. The
+    // oracle enumerates the same set directly: left-maximal 35-gram anchors
+    // (span starts: preceding chars differ or a doc boundary) + a
+    // longest-common-extension computed coarse-to-fine (first mismatching
+    // 256-char block, then the exact char inside it; equal-tail anchors
+    // short-circuit). Positions are 0-based like the Spark output.
+    "pages_long_repeats" ->
+      s"""WITH p AS (SELECT doc_id, lower(text) AS t FROM $pagesGlob),
+         |g AS (
+         |  SELECT doc_id, i, substr(t, CAST(i AS INT), 35) AS gram,
+         |         CASE WHEN i = 1 THEN NULL ELSE substr(t, CAST(i-1 AS INT), 1) END AS prev
+         |  FROM p, generate_series(1, 5000) AS s(i)
+         |  WHERE i <= length(t) - 34),
+         |anchors AS (
+         |  SELECT x.doc_id AS a, x.i AS pa, y.doc_id AS b, y.i AS pb
+         |  FROM g x JOIN g y ON x.gram = y.gram
+         |   AND (x.doc_id < y.doc_id OR (x.doc_id = y.doc_id AND x.i < y.i))
+         |   AND (x.prev IS NULL OR y.prev IS NULL OR x.prev <> y.prev)),
+         |at AS (
+         |  SELECT an.a, an.pa, an.b, an.pb, x.t AS ta, y.t AS tb,
+         |         length(x.t) AS la, length(y.t) AS lb
+         |  FROM anchors an JOIN p x ON x.doc_id = an.a JOIN p y ON y.doc_id = an.b),
+         |blk AS (
+         |  SELECT a, pa, b, pb, ta, tb, la, lb,
+         |         min(CASE WHEN substr(ta, CAST(pa + 35 + 256*j AS INT), 256)
+         |                    <> substr(tb, CAST(pb + 35 + 256*j AS INT), 256)
+         |                  THEN j END) AS jb
+         |  FROM at, generate_series(0, 20) AS s(j)
+         |  GROUP BY ALL),
+         |spans AS (
+         |  SELECT a, pa, b, pb,
+         |         CASE WHEN any_value(jb) IS NULL
+         |              THEN any_value(least(la - pa, lb - pb)) + 1
+         |              ELSE min(CASE WHEN pa + k > la OR pb + k > lb
+         |                              OR substr(ta, CAST(pa + k AS INT), 1)
+         |                              <> substr(tb, CAST(pb + k AS INT), 1)
+         |                            THEN k END) END AS len
+         |  FROM blk, generate_series(35, 5000) AS s(k)
+         |  WHERE (jb IS NULL AND k = 35)
+         |     OR (jb IS NOT NULL AND k >= 35 + 256*jb AND k <= 35 + 256*(jb + 1))
+         |  GROUP BY a, pa, b, pb)
+         |SELECT a, b, CAST(pa - 1 AS INT) AS a_start, CAST(pb - 1 AS INT) AS b_start,
+         |       CAST(len AS INT) AS length
+         |FROM spans""".stripMargin,
     // the recall gates: the query emits (20, 1) iff ≥80/100 of the exact
     // top-k rows are recovered by the approximate path — the oracle pins
     // that exact outcome, so an ANN recall regression turns the row red
