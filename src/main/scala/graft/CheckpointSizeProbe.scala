@@ -10,20 +10,19 @@ import org.apache.spark.sql.SparkSession
   *
   * The reference stores one compact entry per coalesced region root
   * (/root/reference/src/tree_approach.cpp:593-622 — a u32 node id for
-  * first-occurrence regions, a (chkpt, node) pair for shifted regions); this
-  * engine deliberately commits PER-LEAF shift entries (ChunkDedup.scala
-  * ragged-heap tradeoff). This probe measures what that deviation costs:
-  * for a chain of checkpoints with large aligned shifted regions it prints,
-  * per checkpoint, the stored row counts, the region-root counts (= the
-  * reference's entry counts), the ratio, and the logical byte volumes
-  * (ours: 20 B/leaf shift entry [pos u64 + src_chkpt u32 + src_pos u64],
-  * 8 B + chunk bytes per first leaf; reference bound: 4 B per FO region
-  * root + 12 B per shift region root) plus actual parquet bytes on disk.
+  * first-occurrence regions, a (chkpt, node) pair for shifted regions).
+  * Since round 3 this engine's committed shift section IS region-compacted
+  * (one (node, src_chkpt, src_node) row per shift region root; restart
+  * re-expands, ChunkDedup.expandShiftRegions) — the probe verifies
+  * shift_rows == shift_regions and reports the remaining deltas: 20 B/row
+  * vs the reference's 12 B, and an explicit 8-B pos per stored FO chunk
+  * where the reference derives offsets from region spans (≤3% of a
+  * realistic ≥256-B chunk payload).
   *
   * Deterministic workload: 4096 chunks × 8 B; each step moves a 512-chunk
   * aligned block to a different aligned offset and stamps 32 chunks of
   * fresh content — the shift-heavy regime where region compaction matters
-  * most (worst case for the per-leaf layout).
+  * most.
   */
 object CheckpointSizeProbe {
 
@@ -78,6 +77,7 @@ object CheckpointSizeProbe {
     println("[cksize] chkpt | first_rows shift_rows | fo_regions shift_regions | " +
       "leaf/region ratio | ours_logical_B bound_logical_B | ours_disk_B")
     var totOurs = 0L; var totBound = 0L; var totDisk = 0L
+    var totOursShift = 0L; var totBoundShift = 0L
     for (k <- 0 until 8) {
       val r = chain.checkpoint(
         graft.dedup.ChunkDedup.chunkify(spark, step(k), chunkSize))
@@ -86,20 +86,31 @@ object CheckpointSizeProbe {
       val foRegions = r.numFirstOcur
       val shRegions = r.numShiftDupl
       // data section (first-occurrence chunk bytes) is identical under both
-      // layouts — only METADATA differs, so that is what's compared
+      // layouts. Shift metadata is the compacted section (one row per region
+      // root: pos u64 + chkpt u32 + node u64 = 20 B vs the reference's
+      // 12 B); the FO section additionally carries an explicit 8-B pos per
+      // stored chunk where the reference packs chunks and derives offsets
+      // from region spans — ≤3% of the ≥256-B chunk payload it accompanies.
       val oursMeta = firstRows * 8 + shiftRows * 20
       val boundMeta = foRegions * 4 + shRegions * 12
+      val oursShift = shiftRows * 20
+      val boundShift = shRegions * 12
       val disk = dirBytes(Paths.get(root, "chunk_first", s"snapshot=$k")) +
         dirBytes(Paths.get(root, "chunk_shift", s"snapshot=$k"))
       val ratio =
         if (shRegions == 0) "-"
         else f"${shiftRows.toDouble / shRegions}%.1f"
       println(s"[cksize] $k | $firstRows $shiftRows | $foRegions $shRegions | " +
-        s"$ratio | meta ours=$oursMeta bound=$boundMeta | disk=$disk")
+        s"$ratio | meta ours=$oursMeta bound=$boundMeta " +
+        s"(shift section ours=$oursShift bound=$boundShift) | disk=$disk")
       totOurs += oursMeta; totBound += boundMeta; totDisk += disk
+      totOursShift += oursShift; totBoundShift += boundShift
     }
     println(s"[cksize] TOTAL metadata: ours=$totOurs B, per-region bound=$totBound B, " +
-      f"overhead ×${totOurs.toDouble / math.max(1, totBound)}%.1f; disk=$totDisk B")
+      f"overhead ×${totOurs.toDouble / math.max(1, totBound)}%.1f; " +
+      s"shift section ours=$totOursShift B vs bound=$totBoundShift B " +
+      f"(×${totOursShift.toDouble / math.max(1, totBoundShift)}%.2f); disk=$totDisk B " +
+      "(parquet has a ~10 KB/snapshot file floor at this toy scale)")
     spark.stop()
   }
 }

@@ -58,6 +58,45 @@ object ChunkDedup {
 
   @inline private def level(i: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(i + 1)
 
+  /** Leaf POSITIONS under heap node `u` in left-to-right order. Correct for
+    * ragged heaps (leaves occupy nodes nLeaves−1 .. 2·nLeaves−2 across up to
+    * two levels; every internal node has both children).
+    */
+  private[graft] def subtreeLeafPositions(u: Long, nLeaves: Long): Array[Long] = {
+    val leafBase = nLeaves - 1
+    val out = Array.newBuilder[Long]
+    val stack = new scala.collection.mutable.ArrayBuffer[Long]
+    stack += u
+    while (stack.nonEmpty) {
+      val x = stack.remove(stack.length - 1)
+      if (x >= leafBase) out += x - leafBase
+      else { stack += 2 * x + 2; stack += 2 * x + 1 } // left popped first
+    }
+    out.result()
+  }
+
+  /** Expand region-compacted shift metadata (node, src_chkpt, src_node) —
+    * one row per coalesced region root, the stored layout — into per-leaf
+    * (pos, src_chkpt, src_pos) claims: the i-th leaf of a region sources
+    * from the i-th leaf of its source subtree (equal digests ⇒ equal
+    * shapes). Distributed: each region expands independently; output volume
+    * is the claim count, which any restart must materialize anyway.
+    */
+  private[graft] def expandShiftRegions(spark: SparkSession, regions: DataFrame,
+                                        nLeaves: Long): DataFrame = {
+    import spark.implicits._
+    regions.select(col("node"), col("src_chkpt").cast("int"), col("src_node"))
+      .as[(Long, Int, Long)]
+      .flatMap { case (u, sc, su) =>
+        val cur = subtreeLeafPositions(u, nLeaves)
+        val src = subtreeLeafPositions(su, nLeaves)
+        require(cur.length == src.length,
+          s"region $u -> $su leaf-count mismatch (${cur.length} vs ${src.length})")
+        cur.iterator.zip(src.iterator).map { case (p, sp) => (p, sc, sp) }
+      }
+      .toDF("pos", "src_chkpt", "src_pos")
+  }
+
   /** Split a text into fixed-size character chunks (ragged tail), one row per
     * chunk — the reference's P1 chunking (basic_approach.cpp:29-33).
     */
@@ -86,7 +125,10 @@ object ChunkDedup {
         .map(_.group(1).toLong)
         .getOrElse(sys.error("chunk_first manifest lacks num_chunks"))
     def first(c: Int): DataFrame = store.read("chunk_first", c)
-    def shift(c: Int): DataFrame = store.read("chunk_shift", c)
+    // the stored shift section is region-compacted — expand each region
+    // root back to per-leaf (pos, src_chkpt, src_pos) claims
+    def shift(c: Int): DataFrame =
+      expandShiftRegions(spark, store.read("chunk_shift", c), numChunks)
 
     // initial claims: every position of cid sources from (cid, pos)
     var pending = spark.range(numChunks)
@@ -277,6 +319,14 @@ object ChunkDedup {
         .union(shiftedGlobal.select(col("node"), col("digest"), lit(SHIFT).as("label")))
         .union(shiftedLocal.select(col("node"), col("digest"), lit(SHIFT).as("label")))
         .localCheckpoint(true)
+      // SHIFT leaves with their sources — the shift sweep's frontier (region
+      // compaction needs each region ROOT's source, so sources ride along).
+      // Plan only — materialized by the paths that consume it.
+      def shiftLeaves: DataFrame = shiftedGlobal
+        .select(col("node"), col("digest"), col("src_chkpt").cast("int").as("src_chkpt"),
+          col("src_node"))
+        .union(shiftedLocal.select(col("node"), col("digest"),
+          col("src_chkpt").cast("int").as("src_chkpt"), col("src_node")))
       // leaf-level labels are the public per-chunk classification — captured
       // BEFORE the sweeps so both execution paths emit identical labels (the
       // sweeps absorb nodes into regions, which only the counts report)
@@ -335,7 +385,52 @@ object ChunkDedup {
         rootsAcc.count() + frontier.count()
       }
 
-      val counts: Map[String, Long] =
+      /** SHIFT sweep carrying SOURCES: like thinSweep, but frontier rows are
+        * (node, digest, src_chkpt, src_node); a parent coalesces two SHIFT
+        * children iff its combined digest is in the distinct map, and it
+        * inherits THAT MAP ENTRY as its source. Returns the shift REGION
+        * table (node, src_chkpt, src_node) — one row per region root, the
+        * reference's compacted metadata (tree_approach.cpp:593-622).
+        */
+      def thinSweepShift(): DataFrame = {
+        val srcCols = Seq(col("node"), col("src_chkpt"), col("src_node"))
+        var frontier = shiftLeaves.localCheckpoint(true)
+        var rootsAcc = frontier.select(srcCols: _*).limit(0)
+        var l = maxLevel - 1
+        while (l >= 0) {
+          val withLvl = frontier
+            .withColumn("lvl", floor(log2(col("node") + 1)).cast("int"))
+          val lvlNodes = withLvl.filter(col("lvl") === l + 1).drop("lvl")
+          val rest = withLvl.filter(col("lvl") =!= l + 1).drop("lvl")
+          val paired = lvlNodes
+            .withColumn("parent", ((col("node") - 1) / 2).cast("long"))
+            .withColumn("is_left", (col("node") % 2) === 1)
+            .groupBy("parent").agg(
+              count(lit(1)).as("cnt"),
+              max(when(col("is_left"), col("digest"))).as("dl"),
+              max(when(!col("is_left"), col("digest"))).as("dr"))
+            .filter(col("cnt") === 2)
+            .select(col("parent").as("node"),
+              gf.murmur128(concat(col("dl"), col("dr"))).as("digest"))
+          val parents = paired
+            .join(mapOrEmpty(), Seq("digest")) // present in map ⇒ coalesce + src
+            .select(col("node"), col("digest"),
+              col("src_chkpt").cast("int").as("src_chkpt"), col("src_node"))
+            .localCheckpoint(true)
+          val absorbed = parents.select((col("node") * 2 + 1).as("node"))
+            .union(parents.select((col("node") * 2 + 2).as("node")))
+          val unpaired = lvlNodes.join(absorbed, Seq("node"), "left_anti")
+          rootsAcc = rootsAcc.union(unpaired.select(srcCols: _*))
+          frontier = rest.union(parents).localCheckpoint(true)
+          l -= 1
+        }
+        rootsAcc.union(frontier.select(srcCols: _*)).localCheckpoint(true)
+      }
+
+      // shiftRegions: Some(region table) when it will be committed or when
+      // the distributed sweep produced it anyway; None on the storeless
+      // local fast path (golden harnesses skip the extra collect)
+      val (counts, shiftRegions) =
         if (nLeaves <= localSweepMax) {
           // ---- fast path: in-memory sweeps, batched map probes -------------
           // The forests are a per-checkpoint tree computation; only the
@@ -353,15 +448,39 @@ object ChunkDedup {
             insertIntoMap(firstInt.toSeq.toDF("node", "digest")
               .select(col("digest"), lit(cid).as("src_chkpt"), col("node").as("src_node")))
           }
-          val presentShift: Set[Long] =
-            if (shiftCand.isEmpty) Set.empty
+          // batched probe WITH sources (region roots need them)
+          val shiftIntSrc: Map[Long, (Int, Long)] =
+            if (shiftCand.isEmpty) Map.empty
             else {
               import spark.implicits._
               shiftCand.toSeq.toDF("node", "digest")
-                .join(mapOrEmpty().select("digest"), Seq("digest"), "left_semi")
-                .select("node").collect().map(_.getLong(0)).toSet
+                .join(mapOrEmpty(), Seq("digest"))
+                .select("node", "src_chkpt", "src_node").collect()
+                .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
             }
-          Chain.regionCounts(leafEntries, firstInt, fixedInt, shiftCand, presentShift)
+          val presentShift = shiftIntSrc.keySet
+          // region table only when a store will commit it — storeless chains
+          // (golden harnesses) skip the extra leaf-source collect
+          val regionsDf: Option[DataFrame] =
+            if (store.isEmpty) None
+            else Some {
+              @inline def parent(u: Long): Long = (u - 1) / 2
+              val leafSrc = shiftLeaves
+                .select("node", "src_chkpt", "src_node").collect()
+                .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+              val regionRows =
+                leafSrc.iterator.filter { case (u, _, _) =>
+                  u == 0 || !presentShift.contains(parent(u))
+                } ++
+                shiftIntSrc.iterator.collect {
+                  case (u, (sc, sn)) if u == 0 || !presentShift.contains(parent(u)) =>
+                    (u, sc, sn)
+                }
+              import spark.implicits._
+              regionRows.toSeq.toDF("node", "src_chkpt", "src_node")
+            }
+          (Chain.regionCounts(leafEntries, firstInt, fixedInt, shiftCand, presentShift),
+            regionsDf)
         } else {
           // ---- distributed path: per-level THIN sweeps ----------------------
           // log₂(n) shuffles of geometrically shrinking live frontiers; total
@@ -371,10 +490,8 @@ object ChunkDedup {
             insertIntoMap(parents.select(col("digest"), lit(cid).as("src_chkpt"),
               col("node").as("src_node"))))
           val fx = thinSweep(FIXED, identity, _ => ())
-          val sd = thinSweep(SHIFT,
-            paired => paired.join(mapOrEmpty().select("digest"), Seq("digest"), "left_semi"),
-            _ => ())
-          Map(FIRST -> fo, FIXED -> fx, SHIFT -> sd)
+          val regionsDf = thinSweepShift()
+          (Map(FIRST -> fo, FIXED -> fx, SHIFT -> regionsDf.count()), Some(regionsDf))
         }
 
       // ---- outputs ----------------------------------------------------------
@@ -395,18 +512,21 @@ object ChunkDedup {
       results += res
 
       // durable incremental checkpoint: the two file sections restart needs.
-      // Deliberately PER-LEAF shift entries, not per-region: the reference's
-      // region-compacted metadata relies on complete-subtree span arithmetic
-      // (kokkos_merkle_tree.hpp:102-142) whose [leftmost, rightmost] node
-      // ranges are only correct for aligned subtrees — in a ragged heap a
-      // coalesced subtree's leaf POSITIONS need not be contiguous (n=5:
-      // subtree(1) covers positions {0,3,4}). Per-leaf entries carry the
-      // same information, partition freely, and keep restart a pure
-      // equi-join; the region structure is still surfaced via the counts.
+      // The shift section is REGION-COMPACTED exactly like the reference's
+      // (one entry per coalesced region root + its source NodeID,
+      // tree_approach.cpp:593-622): the committed metadata volume is
+      // O(regions), not O(shifted leaves). Ragged heaps are handled without
+      // the reference's contiguous-span arithmetic (kokkos_merkle_tree.hpp:
+      // 102-142, which assumes aligned subtrees): restart re-enumerates each
+      // region's leaf POSITIONS by walking the subtree left-to-right
+      // (subtreeLeafPositions) — positions need not be contiguous (n=5:
+      // subtree(1) covers {0,3,4}) and the i-th leaf of the region maps to
+      // the i-th leaf of its source subtree (equal digests ⇒ equal shapes).
+      // The in-memory per-leaf shiftLeafMap remains the public API.
       store.foreach { st =>
         st.commit("chunk_first", cid, storedFirst,
           Map("num_chunks" -> numChunks.toString))
-        st.commit("chunk_shift", cid, shiftLeafMap)
+        st.commit("chunk_shift", cid, shiftRegions.get)
       }
 
       // reconstruct this checkpoint into reconAll (restart support)

@@ -53,17 +53,18 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     }
 
     // F1/F2 fixed fast path: only urls with new/changed content continue.
-    val changed = store.stage("changed", snap) {
-      val narrow = keyed.select("url", "doc_id", "ckey")
-      if (snap == 0) narrow
-      else {
+    // Snapshot 0 has no previous state — changed IS keyed (already durable),
+    // so no separate commit round-trip.
+    val changed =
+      if (snap == 0) keyed.select("url", "doc_id", "ckey")
+      else store.stage("changed", snap) {
         val prev = store.read("pages_keyed", snap - 1)
           .select(col("url"), col("ckey").as("prev_ckey"))
-        narrow.join(prev, Seq("url"), "left")
+        keyed.select("url", "doc_id", "ckey")
+          .join(prev, Seq("url"), "left")
           .filter(col("prev_ckey").isNull || col("prev_ckey") =!= col("ckey"))
           .drop("prev_ckey")
       }
-    }
 
     // content registry (J1 insert-if-absent): ckey → content_id (min doc_id).
     // Append-only: this snapshot commits only its FRESH registrations.
@@ -122,14 +123,16 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
       // × 10³ new arrivals must emit 10³ candidates, not 10⁹); ckeys are
       // registered exactly once so new/old element sets are disjoint, the
       // kernel's contract
-      val oldKeys =
+      val newE = newKeys.select(col("key"), col("ckey").as("e"))
+      val cand = (
         if (snap == 0)
-          store.read("probe_index", snap).limit(0).select("key", "ckey")
-        else store.readRange("probe_index", 0, snap - 1).select("key", "ckey")
-      val cand = MinHashLSH.boundedProbePairs(
-          newKeys.select(col("key"), col("ckey").as("e")),
-          oldKeys.withColumnRenamed("ckey", "e"),
-          Seq("key"), cfg.maxBucket)
+          // no accumulated state yet — the plain batch kernel (one groupBy +
+          // one join) emits the identical candidate set with fewer exchanges
+          MinHashLSH.boundedBucketPairs(newE, Seq("key"), cfg.maxBucket)
+        else MinHashLSH.boundedProbePairs(newE,
+          store.readRange("probe_index", 0, snap - 1)
+            .select(col("key"), col("ckey").as("e")),
+          Seq("key"), cfg.maxBucket))
         .filter(col("p") =!= col("q"))
         .select(least(col("p"), col("q")).as("a"), greatest(col("p"), col("q")).as("b"))
         .distinct()
@@ -162,7 +165,8 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
       // row counts come from the committed stage manifests — zero extra jobs
       val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
       Seq((snap, store.committedRows("pages_keyed", snap),
-        store.committedRows("changed", snap),
+        if (snap == 0) store.committedRows("pages_keyed", 0) // changed ≡ keyed
+        else store.committedRows("changed", snap),
         store.committedRows("features", snap), nEdges,
         store.committedRows("assignments", snap),
         (System.nanoTime() - t0) / 1000000))

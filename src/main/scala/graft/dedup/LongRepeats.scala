@@ -135,15 +135,29 @@ object LongRepeats {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Verify + extend candidates to maximal spans ≥ minLen. */
+  /** Verify + extend candidates to maximal spans ≥ minLen.
+    *
+    * Texts ship ONCE per doc PAIR, not once per anchor: anchors of one pair
+    * (a near-dup pair carries one every ~window positions — 50×+ redundancy
+    * vs distinct spans) are set-aggregated first, the two texts join against
+    * the pair row, and the anchors explode AFTER the join inside the same
+    * stage. At sf0.1 this turns an ~8 GB two-join text shuffle (3.4M anchor
+    * rows × two ~2.5 KB texts) into ~1 GB (distinct pairs only). Per-pair
+    * anchor lists are bounded by the per-doc fingerprint count
+    * (~2·len/window), never by corpus size.
+    */
   def verifyAndExtend(normDocs: DataFrame, candidates: DataFrame,
                       gram: Int, minLen: Int): DataFrame = {
+    val byPair = candidates.groupBy(col("a"), col("b"))
+      .agg(collect_set(struct(col("pa"), col("pb"))).as("anchors"))
     val ta = normDocs.select(col("doc_id").as("a"), col("t").as("ta"))
     val tb = normDocs.select(col("doc_id").as("b"), col("t").as("tb"))
-    candidates
+    byPair
       .join(ta, "a").join(tb, "b")
+      .select(col("a"), col("b"), col("ta"), col("tb"),
+        explode(col("anchors")).as("an"))
       .withColumn("m", gf.extendMatch(col("ta"), col("tb"),
-        col("pa").cast("int"), col("pb").cast("int"), gram))
+        col("an.pa").cast("int"), col("an.pb").cast("int"), gram))
       .filter(col("m").isNotNull && col("m.len") >= minLen)
       .filter(col("a") =!= col("b") || col("m.a_start") =!= col("m.b_start"))
       .select(col("a"), col("b"), col("m.a_start").as("a_start"),

@@ -146,6 +146,54 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ld == ll)
   }
 
+  test("region-compacted shift store: expansion covers exactly the shifted leaves, both sweep paths restart byte-identically, and regions actually compact") {
+    // ragged n (not a power of two) + a 2-letter alphabet ⇒ deep coalescing
+    // forests: the committed shift section must be one row per REGION root
+    // (reference layout, tree_approach.cpp:593-622), restart must expand it
+    // back to the exact shifted-leaf positions, and the local and thin-sweep
+    // paths must commit stores that reconstruct identical bytes.
+    val n = 96
+    val rnd = new scala.util.Random(23)
+    val alphabet = "AB"
+    var cur = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (step <- 0 until 3) {
+      if (step > 0)
+        for (i <- 0 until n if rnd.nextDouble() < 0.1)
+          cur(i) = alphabet(rnd.nextInt(alphabet.length))
+      steps += new String(cur)
+    }
+    def buildStore(sweepMax: Long): (graft.state.SnapshotStore, Seq[ChunkDedup.ChkptResult]) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_regions").toString
+      val store = new graft.state.SnapshotStore(spark, root)
+      val chain = new ChunkDedup.Chain(spark, n.toLong, localSweepMax = sweepMax,
+        store = Some(store))
+      val rs = steps.map(s => chain.checkpoint(ChunkDedup.chunkify(spark, s, 1)))
+      (store, rs.toSeq)
+    }
+    val (localStore, localRs) = buildStore(Chain_localMax)
+    val (distStore, _) = buildStore(0L)
+    for (cid <- steps.indices) {
+      // one committed row per region root (the compaction claim itself)
+      assert(localStore.committedRows("chunk_shift", cid) ==
+        localRs(cid).numShiftDupl, s"cid $cid region-row count")
+      // expansion covers exactly the shifted leaf positions
+      val expanded = ChunkDedup.expandShiftRegions(spark,
+        localStore.read("chunk_shift", cid), n.toLong)
+        .select("pos").collect().map(_.getLong(0)).sorted
+      val perLeaf = localRs(cid).shiftLeafMap
+        .select("pos").collect().map(_.getLong(0)).sorted
+      assert(expanded.toSeq == perLeaf.toSeq, s"cid $cid expansion positions")
+      // both execution paths' stores reconstruct the exact bytes
+      for (store <- Seq(localStore, distStore)) {
+        val got = ChunkDedup.restartFromStore(spark, store, cid).collect()
+          .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+        assert(got == steps(cid), s"cid $cid restart bytes")
+      }
+    }
+  }
+  private val Chain_localMax = ChunkDedup.Chain.LOCAL_SWEEP_MAX
+
   test("randomized multi-checkpoint roundtrip (tree_chkpt analogue)") {
     val rnd = new scala.util.Random(1931) // reference generator seed
     val n = 64
