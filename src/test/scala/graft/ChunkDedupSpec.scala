@@ -146,6 +146,20 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ld == ll)
   }
 
+  test("subtreeLeafPositions: ragged heaps enumerate non-contiguous leaf positions left-to-right") {
+    // n=5: leaves are nodes 4..8 (positions 0..4); node 1's subtree is
+    // {3,4,7,8} with leaves {7,8,4} → positions {3,4,0}, and LEFT-TO-RIGHT
+    // order is (3, 4, 0): the documented case where the reference's
+    // contiguous-span arithmetic cannot describe a region
+    assert(ChunkDedup.subtreeLeafPositions(1L, 5L).toSeq == Seq(3L, 4L, 0L))
+    assert(ChunkDedup.subtreeLeafPositions(2L, 5L).toSeq == Seq(1L, 2L))
+    assert(ChunkDedup.subtreeLeafPositions(0L, 5L).toSeq == Seq(3L, 4L, 0L, 1L, 2L))
+    assert(ChunkDedup.subtreeLeafPositions(6L, 5L).toSeq == Seq(2L))
+    // perfect tree: contiguous ascending
+    assert(ChunkDedup.subtreeLeafPositions(1L, 4L).toSeq == Seq(0L, 1L))
+    assert(ChunkDedup.subtreeLeafPositions(0L, 8L).toSeq == (0L until 8L))
+  }
+
   test("region-compacted shift store: expansion covers exactly the shifted leaves, both sweep paths restart byte-identically, and regions actually compact") {
     // ragged n (not a power of two) + a 2-letter alphabet ⇒ deep coalescing
     // forests: the committed shift section must be one row per REGION root
