@@ -102,4 +102,38 @@ class TextMultimodalAnnSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(ivfHits >= 90, s"IVF recall ${ivfHits}/100")
   }
+
+  test("ANN: SRP threshold-pair join (the benched emb_cosine_pairs scale path) — exact precision, high recall on planted twins") {
+    import spark.implicits._
+    def unit(seed: Long, dim: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 64
+    val rows = (0 until 100).flatMap { i =>
+      val base = unit(1000 + i, dim)
+      val noisy = base.zip(unit(5000 + i, dim)).map { case (b, n) => b + 0.1f * n }
+      Seq((i.toLong, base), (100L + i, noisy))
+    } ++ (0 until 200).map(i => (300L + i, unit(9000 + i, dim)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val tau = 0.9 // twins sit at cos≈0.995; random 64-dim pairs ≈ 0
+    val pairs = graft.sim.Ann.srpThresholdPairs(emb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision is exact BY CONSTRUCTION (every emitted pair passed the
+    // exact cosine filter) — assert the invariant and the output contract
+    pairs.foreach { case (a, b, sim) =>
+      assert(a < b, s"pair order ($a,$b)")
+      assert(sim >= tau, s"pair ($a,$b) sim=$sim below tau")
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // recall: collision probability at cos≈0.995 is ~1 per table
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val hits = (0 until 100).count(i => found.contains((i.toLong, 100L + i)))
+    assert(hits >= 95, s"SRP threshold-pair recall $hits/100")
+    // no random pair sneaks past tau (distractors are near-orthogonal)
+    assert(pairs.forall { case (a, b, _) => b - a == 100 && a < 100 },
+      s"unexpected non-twin pair above tau: ${pairs.find { case (a, b, _) => b - a != 100 || a >= 100 }}")
+  }
 }
