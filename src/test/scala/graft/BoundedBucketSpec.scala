@@ -51,6 +51,45 @@ class BoundedBucketSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("randomized: bounded PROBE kernel matches a naive new-vs-all reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      // disjoint old/new element sets (the caller's contract: a content key
+      // registers exactly once)
+      val all = (0 until 400)
+        .map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(120).toLong)).distinct
+      val els = all.map(_._2).distinct
+      val newEls = els.filter(_ % 3 == 0).toSet
+      val newRows = all.filter(r => newEls.contains(r._2))
+      val oldRows = all.filterNot(r => newEls.contains(r._2))
+      val cap = 1 + rnd.nextInt(8)
+      val got = MinHashLSH.boundedProbePairs(
+          newRows.toDF("key", "e"), oldRows.toDF("key", "e"), Seq("key"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // naive model: per key, small (≤ cap distinct members) buckets emit
+      // every (new, other-member) pair in both roles; hot buckets emit
+      // (anchor, new) with anchor = min old member if any, else min new
+      val naive = all.groupBy(_._1).values.flatMap { grp =>
+        val ms = grp.map(_._2).distinct
+        val news = ms.filter(newEls.contains)
+        val olds = ms.filterNot(newEls.contains)
+        if (ms.length <= cap)
+          for (p <- news; q <- ms if p != q) yield (p, q)
+        else {
+          val anchor = if (olds.nonEmpty) olds.min else news.min
+          news.filter(_ != anchor).map(q => (anchor, q))
+        }
+      }.toSet
+      assert(got == naive, s"trial $trial cap $cap")
+      // every emitted pair touches a new element; no old-old pair ever
+      // re-verifies (append-only disjointness)
+      got.foreach { case (p, q) =>
+        assert(newEls.contains(p) || newEls.contains(q), s"old-old pair ($p,$q)")
+      }
+    }
+  }
+
   test("the aggregation state is O(1) per key: collect_set only runs below maxBucket") {
     import spark.implicits._
     // structural guarantee: the only per-key array aggregation in the plan
