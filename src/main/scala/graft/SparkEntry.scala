@@ -180,6 +180,22 @@ object SparkEntry {
       chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step1, 1)).labels
     }),
 
+    // J3 TreeLowRoot election over the same derived checkpoint pair, run on
+    // the DISTRIBUTED chain (Spark labeling + thin-sweep forest; driver
+    // pruning over the fresh forest only). Rows-only: the order-sensitive
+    // pruning fixpoint is not SQL-expressible; label parity vs the serial
+    // golden core is spec-gated (TreeLowRootSpec) at 4096 chunks.
+    "chunk_lowroot_labels" -> ((s, dir) => {
+      val texts = docs(s, dir).orderBy("doc_id").limit(2)
+        .select("text").collect().map(_.getString(0))
+      val len = math.min(256, math.min(texts(0).length, 128 + texts(1).length))
+      val step0 = texts(0).take(len)
+      val step1 = (texts(0).take(128) + texts(1)).take(len)
+      val chain = new graft.dedup.TreeLowRoot.DistChain(s, step0.length.toLong)
+      chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step0, 1))
+      chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step1, 1)).labels
+    }),
+
     // Update-pattern analysis (reference update_pattern_analysis.hpp —
     // diagnostics over a checkpoint chain): per-position change frequency
     // across 4 derived checkpoints; the F1 changed-filter applied chain-wide.
