@@ -425,6 +425,27 @@ object SparkEntry {
         .agg(graft.functions.MinHashUnionAgg.estimateDistinct(col("sig")).as("est_distinct"))
     }),
 
+    // Sketch-accuracy gate: the MinHash-union distinct estimate must land
+    // within ±25% (the 3σ bound at 128 perms, spec-asserted) of the EXACT
+    // per-source distinct-shingle count for every source — one row the
+    // oracle pins, so sketch quality is a hard CORRECTNESS signal.
+    "sketch_distinct_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = d.select(col("source"),
+          explode(gf.shingles(col("text"), cfg.shingleK)).as("sh"))
+        .groupBy("source").agg(count_distinct(col("sh")).as("n_exact"))
+      val est = d.select(col("source"),
+          gf.minhash(gf.shingles(col("text"), cfg.shingleK), cfg.numPerm, cfg.seed).as("sig"))
+        .groupBy("source")
+        .agg(graft.functions.MinHashUnionAgg.estimateDistinct(col("sig")).as("est"))
+      exact.join(est, "source")
+        .agg(count(lit(1)).as("n_sources"),
+          sum(when(abs(col("est") / col("n_exact") - 1.0) <= 0.25, 0L)
+            .otherwise(1L)).as("n_bad"))
+        .select(col("n_sources"),
+          when(col("n_bad") === 0, 1L).otherwise(0L).as("all_within_tolerance"))
+    }),
+
     // Document fingerprints (rolling 64-bit + murmur128 hex) — rows-only.
     "text_fingerprints" -> ((s, dir) => graft.text.TextAnalysis.fingerprints(docs(s, dir))),
 
@@ -832,6 +853,9 @@ object SparkEntry {
     // that exact outcome, so an ANN recall regression turns the row red
     "ann_lsh_recall" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok",
+    "sketch_distinct_gate" ->
+      """SELECT count(DISTINCT source) AS n_sources,
+        |       CAST(1 AS BIGINT) AS all_within_tolerance FROM documents""".stripMargin,
     "ann_ivf_recall" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok",
     "ann_topk_exact" ->
