@@ -150,6 +150,32 @@ object SparkEntry {
           (col("doc_id") / graft.pages.PagesGen.GROUP).cast("long")),
         minLen = 60)),
 
+    // Cross-validation gate for the two independent long-repeat
+    // implementations: every span the per-partition SUFFIX-ARRAY pass finds
+    // (exact, minLen=60) must also be found by the corpus-wide WINNOWING
+    // pass (guaranteed ≥35) — identical maximal spans from different
+    // algorithms, one row the oracle pins. maxBucket is raised so the
+    // winnow side is exhaustive even on hot boilerplate fingerprints
+    // (star-capping would legitimately drop non-representative pairs).
+    "sa_winnow_consistency_gate" -> ((s, dir) => {
+      // deterministic 4000-doc slice: covers the whole corpus at verify
+      // scale (2000 docs); keeps the double repeat-pass affordable at bench
+      // scale — the gate's value is cross-validation, not throughput
+      val corpus = pagesCorpus(s, dir).filter(col("doc_id") < 4000)
+      val lr = graft.dedup.LongRepeats.repeats(corpus, maxBucket = 1024)
+      val sa = graft.dedup.LongRepeats.repeatsWithinPartitions(
+        corpus.repartition(s.sparkContext.defaultParallelism,
+          (col("doc_id") / graft.pages.PagesGen.GROUP).cast("long")),
+        minLen = 60)
+      val missing = sa.join(lr,
+        Seq("a", "b", "a_start", "b_start", "length"), "left_anti")
+      sa.agg(count(lit(1)).as("n_sa")).crossJoin(
+          missing.agg(count(lit(1)).as("n_missing")))
+        .select(
+          when(col("n_sa") > 0, 1L).otherwise(0L).as("sa_nonempty"),
+          when(col("n_missing") === 0, 1L).otherwise(0L).as("all_in_winnow"))
+    }),
+
     // incremental snapshot-over-snapshot dedup (checkpointed stages, resume)
     // — snapshots are deterministic slices/revisions of the session's corpus
     // dump (incSnapshots), which the oracle re-derives in SQL from the same
@@ -853,6 +879,8 @@ object SparkEntry {
     // that exact outcome, so an ANN recall regression turns the row red
     "ann_lsh_recall" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok",
+    "sa_winnow_consistency_gate" ->
+      "SELECT CAST(1 AS BIGINT) AS sa_nonempty, CAST(1 AS BIGINT) AS all_in_winnow",
     "sketch_distinct_gate" ->
       """SELECT count(DISTINCT source) AS n_sources,
         |       CAST(1 AS BIGINT) AS all_within_tolerance FROM documents""".stripMargin,
