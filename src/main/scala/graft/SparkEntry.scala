@@ -528,6 +528,31 @@ object SparkEntry {
           when(col("hits") >= 75L, 1L).otherwise(0L).as("recall_ok"))
     }),
 
+    // Multimodal plumbing-contract gate: the SQL-checkable half of the
+    // decode pipeline (kind routing by asset id, frame sampling fires for
+    // videos only, batch sizes within [1, batchSize], positive decoded
+    // dimensions) as a one-row pass/fail — the stub decode itself stays
+    // rows-only, but the Spark-side contract becomes a CORRECTNESS signal.
+    "mm_contract_gate" -> ((s, dir) => {
+      val feats = graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.mediaFromPages(
+          pagesCorpus(s, dir).withColumn("html",
+            concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+              .cast("binary"))), 64)
+      val kindExpected = element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("asset_id") % 3 + 1).cast("int"))
+      feats.agg(
+          count(lit(1)).as("n_assets"),
+          sum(when(col("kind") === kindExpected
+              && (col("n_frames") === when(col("kind") === "video", 4).otherwise(0))
+              && col("batch_size_seen").between(1, 64)
+              && col("width") > 0 && col("height") > 0 && col("channels") === 3,
+            0L).otherwise(1L)).as("n_bad"))
+        .select(col("n_assets"),
+          when(col("n_bad") === 0, 1L).otherwise(0L).as("contract_ok"))
+    }),
+
     // P2: 128-bit murmur3_x64_128 content digest (no DuckDB equivalent —
     // rows-only check; byte-compatibility asserted in the test suite).
     "murmur128_digest" -> ((s, dir) =>
@@ -881,6 +906,9 @@ object SparkEntry {
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok",
     "sa_winnow_consistency_gate" ->
       "SELECT CAST(1 AS BIGINT) AS sa_nonempty, CAST(1 AS BIGINT) AS all_in_winnow",
+    "mm_contract_gate" ->
+      s"""SELECT count(*) AS n_assets, CAST(1 AS BIGINT) AS contract_ok
+         |FROM $pagesGlob""".stripMargin,
     "sketch_distinct_gate" ->
       """SELECT count(DISTINCT source) AS n_sources,
         |       CAST(1 AS BIGINT) AS all_within_tolerance FROM documents""".stripMargin,
