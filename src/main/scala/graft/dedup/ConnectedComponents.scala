@@ -85,20 +85,29 @@ object ConnectedComponents {
     * local or distributed path by edge count. `SPARK_GRAFT_CC_MAX` overrides
     * the threshold (set it to 0 to force the distributed star rounds at
     * bench scale — the once-per-round scaling evidence run).
+    *
+    * `knownEdgeCount`: callers that already know the (a ≠ b) edge count —
+    * e.g. from committed store manifests — skip the eager persist+count
+    * dispatch job.
     */
   def assignAll(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                 smallGraphMax: Long = sys.env.get("SPARK_GRAFT_CC_MAX")
-                  .map(_.toLong).getOrElse(SMALL_GRAPH_MAX)): DataFrame = {
-    val e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = e.count()
+                  .map(_.toLong).getOrElse(SMALL_GRAPH_MAX),
+                knownEdgeCount: Option[Long] = None): DataFrame = {
+    val e0 = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
+    val e = knownEdgeCount match {
+      case Some(_) => e0
+      case None => e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nEdges = knownEdgeCount.getOrElse(e.count())
     val comps =
       if (nEdges <= smallGraphMax) {
         import spark.implicits._
         val local = localComponents(
           e.collect().map(r => (r.getLong(0), r.getLong(1))))
         local.toSeq.toDF("id", "comp")
-      } else run(spark, e)
+      } else run(spark, e) // eager per-round localCheckpoints: no e dependence after return
+    if (knownEdgeCount.isEmpty) e.unpersist() // comps no longer references e
     val out = nodes.select(col(nodes.columns.head).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))

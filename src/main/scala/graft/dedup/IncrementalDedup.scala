@@ -145,8 +145,11 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // content-level clustering over ckey nodes; deterministic label = min
     // content_id (= min doc_id ever holding any content of the component)
     val contentClusters = store.stage("content_clusters", snap) {
+      // edge count comes from the committed manifests — no dispatch job
+      val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
       val comps = ConnectedComponents.assignAll(spark,
-        registry.select(col("ckey")), edges) // (id = ckey, cluster = min ckey)
+        registry.select(col("ckey")), edges, // (id = ckey, cluster = min ckey)
+        knownEdgeCount = Some(nEdges))
       val labels = comps.join(registry, comps("id") === registry("ckey"))
         .groupBy(comps("cluster")).agg(min("content_id").as("content_cluster"))
       comps.join(labels, "cluster")
