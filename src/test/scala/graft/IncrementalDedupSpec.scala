@@ -108,6 +108,47 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(mj.contains("\"partitions\"") && mj.contains("\"rows\""))
   }
 
+  test("three-snapshot chain: unchanged docs' cluster labels never increase (append-only edges only MERGE components)") {
+    // Components grow monotonically across snapshots (edge tables are
+    // append-only), so for a doc whose TEXT is unchanged between snapshots
+    // the min-content_id cluster label can only decrease or stay — a
+    // structural invariant of the content-keyed design. Revised docs may
+    // legitimately move anywhere (their ckey changes).
+    val (n, m) = (240, 60)
+    def snap2Pages: DataFrame = {
+      val base = PagesGen.pages(spark, n + 2 * m, seed = 42L, partitions = 4)
+      base
+        .withColumn("text",
+          when(col("doc_id") % 37 === 0 && col("doc_id") < n,
+            concat(col("text"), lit(" fresh revision tokens zz1 zz2 zz3")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 53 === 0 && col("doc_id") < n + m,
+            concat(col("text"), lit(" second wave qq7 qq8")))
+            .otherwise(col("text")))
+    }
+    val root = Files.createTempDirectory("graft_inc3").toString
+    val inc = new IncrementalDedup(spark, new SnapshotStore(spark, root), cfg)
+    val s1 = snapshotPages(1, n, m).persist()
+    val s2 = snap2Pages.persist()
+    inc.processSnapshot(0, snapshotPages(0, n, m))
+    val a1 = inc.processSnapshot(1, s1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = inc.processSnapshot(2, s2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2.size == n + 2 * m)
+    // docs with byte-identical text in both snapshots
+    val unchanged = s1.select(col("doc_id"), col("text").as("t1"))
+      .join(s2.select(col("doc_id"), col("text").as("t2")), Seq("doc_id"))
+      .filter(col("t1") === col("t2")).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(unchanged.length > 200, "fixture must keep most docs unchanged")
+    unchanged.foreach { d =>
+      assert(a2(d) <= a1(d), s"doc $d label rose ${a1(d)} -> ${a2(d)}")
+    }
+    s1.unpersist(); s2.unpersist()
+  }
+
   test("incremental probe path: hot-key flood stays bounded and coalesces into one cluster") {
     // Mirror of PipelineSpec's batch flood, on the INCREMENTAL new-vs-all
     // probe joins: snapshot 0 accumulates a 1500-doc near-duplicate flood
