@@ -356,8 +356,10 @@ object ChunkDedup {
         var rootsAcc = frontier.select(col("node")).limit(0)
         var l = maxLevel - 1
         while (l >= 0) {
+          // exact integer level (bin-string width): floor(log2(…)) on
+          // doubles mis-rounds near 2^k for node ids ≥ ~2^48
           val withLvl = frontier
-            .withColumn("lvl", floor(log2(col("node") + 1)).cast("int"))
+            .withColumn("lvl", (length(bin(col("node") + 1)) - 1).cast("int"))
           val lvlNodes = withLvl.filter(col("lvl") === l + 1).drop("lvl")
           val rest = withLvl.filter(col("lvl") =!= l + 1).drop("lvl")
           val paired = lvlNodes
@@ -398,8 +400,10 @@ object ChunkDedup {
         var rootsAcc = frontier.select(srcCols: _*).limit(0)
         var l = maxLevel - 1
         while (l >= 0) {
+          // exact integer level (bin-string width): floor(log2(…)) on
+          // doubles mis-rounds near 2^k for node ids ≥ ~2^48
           val withLvl = frontier
-            .withColumn("lvl", floor(log2(col("node") + 1)).cast("int"))
+            .withColumn("lvl", (length(bin(col("node") + 1)) - 1).cast("int"))
           val lvlNodes = withLvl.filter(col("lvl") === l + 1).drop("lvl")
           val rest = withLvl.filter(col("lvl") =!= l + 1).drop("lvl")
           val paired = lvlNodes

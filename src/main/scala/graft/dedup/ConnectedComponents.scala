@@ -92,7 +92,10 @@ object ConnectedComponents {
     */
   def assignAll(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
                 smallGraphMax: Long = sys.env.get("SPARK_GRAFT_CC_MAX")
-                  .map(_.toLong).getOrElse(SMALL_GRAPH_MAX),
+                  .flatMap(v => scala.util.Try(v.trim.toLong).toOption
+                    .orElse { System.err.println(
+                      s"[graft] ignoring malformed SPARK_GRAFT_CC_MAX='$v'"); None })
+                  .getOrElse(SMALL_GRAPH_MAX),
                 knownEdgeCount: Option[Long] = None): DataFrame = {
     val e0 = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
     val e = knownEdgeCount match {

@@ -72,11 +72,12 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // registration (min doc_id among the registering snapshot's changed
     // docs). A LOWER doc_id presenting an already-registered content in a
     // later snapshot (a url reverting to older text) keeps the original
-    // content_id — the pages_incremental_clusters oracle elects cids the
-    // same way (min doc_id per content over ALL snapshots) only because the
-    // synthesized workload never re-presents a content from a smaller
-    // doc_id; a workload that does needs the oracle's cid election scoped
-    // to each content's earliest snapshot.
+    // content_id — pinned by IncrementalDedupSpec ("a LOWER doc_id
+    // re-presenting registered content..."): no re-registration, labels
+    // stay the frozen id and all holders share one cluster. The
+    // pages_incremental_clusters oracle may elect cids globally (min doc_id
+    // over ALL snapshots) only because the synthesized workload never
+    // re-presents a content from a smaller doc_id.
     def regUpTo(hi: Int): DataFrame =
       if (hi < 0) emptyReg()
       else store.readRange("registry", 0, hi).select("ckey", "content_id")

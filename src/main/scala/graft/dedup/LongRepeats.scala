@@ -174,7 +174,13 @@ object LongRepeats {
     val n = norm(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minLen = gram + window - 1
-    verifyAndExtend(n, winnowCandidates(n, gram, window, maxBucket), gram, minLen)
+    // eager output + unpersist: the span set is tiny; the persisted corpus
+    // copy must NOT outlive the call (a many-query session would otherwise
+    // accumulate one pinned corpus per repeat pass and degrade under memory
+    // pressure — the round-3 driver-bench outlier)
+    try verifyAndExtend(n, winnowCandidates(n, gram, window, maxBucket),
+      gram, minLen).localCheckpoint(true)
+    finally n.unpersist()
   }
 
   /** Full suffix-array pass over the current partitioning (gram anchors the
@@ -185,6 +191,9 @@ object LongRepeats {
                               textCol: String = "text"): DataFrame = {
     val n = norm(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyAndExtend(n, suffixArrayCandidates(n, minLen), minLen, minLen)
+    // eager + unpersist: see repeats()
+    try verifyAndExtend(n, suffixArrayCandidates(n, minLen), minLen, minLen)
+      .localCheckpoint(true)
+    finally n.unpersist()
   }
 }

@@ -190,6 +190,16 @@ object TreeLowRoot {
     winners.toMap
   }
 
+  object DistChain {
+    /** Checkpoints up to this many chunks dispatch to the serial [[Chain]]
+      * (output-identical, spec-gated): the distributed sweep pays ~log n
+      * rounds of eager tiny jobs — pure stage latency at toy scale, the
+      * right shape only when one checkpoint's chunk count exceeds
+      * driver-collectable size. Mirrors ChunkDedup.Chain.LOCAL_SWEEP_MAX.
+      */
+    final val LOCAL_MAX: Long = 1L << 16
+  }
+
   /** DISTRIBUTED low-root chain — the Spark shape of the reference's device
     * kernel (tree_low_root_approach.cpp:55-214): leaf hashing, FIXED/SHIFT/
     * fresh labeling and the FIRST_DUPL forest build (root pointers carried
@@ -201,14 +211,21 @@ object TreeLowRoot {
     * case). Output-identical to the serial [[Chain]] (TreeLowRootSpec
     * asserts parity at 4096 chunks); a checkpoint with 10⁸ chunks and a few
     * 10⁵ fresh ones never materializes the leaf set on the driver.
+    *
+    * Below `localMax` chunks the whole checkpoint dispatches to the serial
+    * [[Chain]] (identical output; the spec forces the distributed path with
+    * localMax = 0).
     */
-  final class DistChain(spark: SparkSession, numChunks: Long) {
+  final class DistChain(spark: SparkSession, numChunks: Long,
+                        localMax: Long = DistChain.LOCAL_MAX) {
     require(numChunks >= 1)
     private val leafBase = numChunks - 1
     private val maxLevel = // level of the last node 2n-2; level(i) = ⌊log2(i+1)⌋
       63 - java.lang.Long.numberOfLeadingZeros(2 * numChunks - 1)
     private var prevLeaves: DataFrame = _ // (node, digest)
     private var global: DataFrame = _     // (digest) — cross-checkpoint map
+    private val serialFastPath: Option[Chain] =
+      if (numChunks <= localMax) Some(new Chain(spark, numChunks)) else None
 
     private def globalOrEmpty(): DataFrame =
       if (global == null) {
@@ -216,7 +233,13 @@ object TreeLowRoot {
         Seq.empty[Array[Byte]].toDF("digest")
       } else global
 
-    def checkpoint(chunks: DataFrame): LowRootResult = {
+    def checkpoint(chunks: DataFrame): LowRootResult =
+      serialFastPath match {
+        case Some(c) => c.checkpoint(chunks)
+        case None    => distCheckpoint(chunks)
+      }
+
+    private def distCheckpoint(chunks: DataFrame): LowRootResult = {
       import spark.implicits._
       val leaves = chunks
         .select((col("pos") + leafBase).as("node"),
@@ -245,8 +268,10 @@ object TreeLowRoot {
       var internalsDf = frontier.limit(0)
       var l = maxLevel - 1
       while (l >= 0) {
+        // level(i) = ⌊log2(i+1)⌋ via exact integer arithmetic (bin-string
+        // width): floor(log2(…)) on doubles mis-rounds near 2^k for k ≥ ~48
         val withLvl = frontier
-          .withColumn("lvl", floor(log2(col("node") + 1)).cast("int"))
+          .withColumn("lvl", (length(bin(col("node") + 1)) - 1).cast("int"))
         val lvlNodes = withLvl.filter(col("lvl") === l + 1).drop("lvl")
         val restF = withLvl.filter(col("lvl") =!= l + 1).drop("lvl")
         val parents = lvlNodes
@@ -290,6 +315,12 @@ object TreeLowRoot {
 
       val byLabel = labels.groupBy("label").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // fail fast on malformed input (missing/duplicate positions) — the
+      // serial Chain's require(rows.length == numChunks) equivalent, free
+      // here because the label counts were just collected
+      require(byLabel.values.sum == numChunks,
+        s"checkpoint labeled ${byLabel.values.sum} leaves, expected $numChunks " +
+          "— input chunk positions are missing or duplicated")
       LowRootResult(labels,
         byLabel.getOrElse(FIRST, 0L),
         byLabel.getOrElse(SHIFT, 0L),

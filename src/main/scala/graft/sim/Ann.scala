@@ -16,6 +16,20 @@ import graft.functions.gf
   */
 object Ann {
 
+  /** Recall-VALIDATED configs — the single source of truth shared by the
+    * driver's `ann_topk_lsh`/`ann_topk_ivf` queries and the oracle-pinned
+    * `ann_*_recall` gates, so the benched scale path is always the validated
+    * one. AnnRecallProbe on the driver's random-ish embedding corpora
+    * (n = 500..2000): SRP bits must track log2(n) — bits=10 collapses to
+    * recall ≈ 0.02 at this density, bits=4 × 12 tables measures 0.80–0.87;
+    * IVF 16 cells × 6 probes measures 0.90–0.94. Re-run AnnRecallProbe
+    * before changing either config at a different corpus density.
+    */
+  final case class LshConfig(bits: Int, tables: Int, seed: Long)
+  val PinnedLsh: LshConfig = LshConfig(bits = 4, tables = 12, seed = 7L)
+  final case class IvfConfig(nCells: Int, nProbe: Int)
+  val PinnedIvf: IvfConfig = IvfConfig(nCells = 16, nProbe = 6)
+
   /** Exact top-k neighbors for each query id. Queries should be small enough
     * to broadcast (the corpus side streams).
     */

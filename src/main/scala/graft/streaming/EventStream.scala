@@ -12,6 +12,22 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventStream {
 
+  /** Run `body` with spark.sql.shuffle.partitions pinned to `n` — the state
+    * store instance count for a stateful streaming query. Each partition is
+    * one HDFS-backed store with per-commit file+fsync overhead (measured:
+    * 32 partitions cost 33.8 s of summed commit time for 16k keys vs 0.7 s
+    * at 8), so the count should track STATE volume, not core count — on a
+    * real cluster a 100-TB stream sizes this in the thousands, a toy drain
+    * in the single digits. Restored afterwards (queries in one session run
+    * serially through the bench/verify harness).
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** 5-minute tumbling-window counts/sums per event_type with a 10-minute
     * watermark. Returns the COMPLETE result after draining all available
     * input — semantically identical to the batch aggregation, which is what
@@ -45,13 +61,15 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("ws"),
         col("event_type"), col("n"), col("sum_value"))
     val name = s"events_win_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -73,13 +91,15 @@ object EventStream {
       .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("cnt"))
       .select(col("rep_doc"), col("cnt"))
     val name = s"pages_dedup_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 

@@ -149,6 +149,60 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     s1.unpersist(); s2.unpersist()
   }
 
+  test("a LOWER doc_id re-presenting registered content keeps the frozen content_id; labels stay consistent") {
+    // The content_id freeze invariant (IncrementalDedup registry stage): a
+    // content is registered ONCE, by the min doc_id among the snapshot that
+    // first presents it. If a later snapshot re-presents that content from a
+    // LOWER doc_id (a url reverting to older text), the registry must NOT
+    // re-register or re-elect — the original content_id stays, every doc
+    // holding the content inherits the same cluster, and the label is the
+    // FROZEN id (the deliberate divergence from a global-min-doc_id
+    // election, which the driver oracle can assume only because its
+    // synthesized workload never re-presents from a smaller doc_id).
+    import spark.implicits._
+    def pages(rows: (String, Long, String)*): DataFrame =
+      rows.toSeq.toDF("url", "doc_id", "text")
+    val tShared = ("the quick brown fox jumps over the lazy dog while " +
+      "seventeen other animals watch from the riverbank every morning ") * 4
+    val tOther = ("completely different content describing distributed " +
+      "deduplication engines and their checkpoint restart protocols ") * 4
+    val tB0 = ("url b original body before reverting to the shared " +
+      "content with its own distinct vocabulary of terms ") * 4
+    val root = Files.createTempDirectory("graft_inc_represent").toString
+    val store = new SnapshotStore(spark, root)
+    val inc = new IncrementalDedup(spark, store, cfg)
+
+    // snapshot 0: the HIGH doc_id 100 registers the shared content
+    inc.processSnapshot(0, pages(
+      ("https://x/a", 100L, tShared), ("https://x/b", 5L, tB0),
+      ("https://x/c", 7L, tOther)))
+    // snapshot 1: url b (doc 5 < 100) REVERTS to the registered shared text
+    val snap1 = pages(
+      ("https://x/a", 100L, tShared), ("https://x/b", 5L, tShared),
+      ("https://x/c", 7L, tOther))
+    val a1 = inc.processSnapshot(1, snap1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // registry: exactly one row for the shared ckey, content_id frozen at 100
+    val sharedCkey = pages(("u", 0L, tShared))
+      .select(graft.functions.gf.contentKey64(col("text"))).head.getLong(0)
+    val regRows = store.readRange("registry", 0, 1)
+      .filter(col("ckey") === sharedCkey)
+      .select("content_id").collect().map(_.getLong(0))
+    assert(regRows.toSeq == Seq(100L),
+      s"shared content must stay registered once as 100, got ${regRows.toSeq}")
+
+    // both holders share ONE cluster, labeled by the frozen content_id
+    assert(a1(100L) == a1(5L), s"shared-content docs split: $a1")
+    assert(a1(100L) == 100L, s"label must be the frozen content_id: $a1")
+    assert(a1(7L) == 7L)
+
+    // snapshot 2 (nothing changes — FIXED fast path): labels identical
+    val a2 = inc.processSnapshot(2, snap1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a2 == a1, s"labels drifted on an unchanged snapshot: $a1 vs $a2")
+  }
+
   test("incremental probe path: hot-key flood stays bounded and coalesces into one cluster") {
     // Mirror of PipelineSpec's batch flood, on the INCREMENTAL new-vs-all
     // probe joins: snapshot 0 accumulates a 1500-doc near-duplicate flood
