@@ -2,21 +2,38 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Dev probe: per-stage timing of the incremental dedup at a given SF. */
+/** Dev probe: per-snapshot + per-stage timing of the incremental dedup at a
+  * given SF and chain depth (SPARK_GRAFT_INC_DEPTH, default 2 — the driver
+  * query's shape; 10 = the reference's jobscript chain length). Snapshot s
+  * holds the first n + s·(n/10) docs with every 37th base doc's text revised
+  * PER SNAPSHOT ("rev s" suffix) — steady url churn, like the driver's
+  * workload but deeper. Prints per-snapshot wall seconds (flat within noise
+  * = per-snapshot cost does not grow with chain depth) and committed-stage
+  * write_ms breakdowns.
+  */
 object IncProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val depth = sys.env.getOrElse("SPARK_GRAFT_INC_DEPTH", "2").toInt
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "4").toInt
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = math.max(cpus, 8))
     val root = java.nio.file.Files.createTempDirectory("graft_inc_probe").toString
     val store = new graft.state.SnapshotStore(spark, root)
-    val inc = new graft.dedup.IncrementalDedup(spark, store, graft.dedup.DedupConfig())
+    val inc = new graft.dedup.IncrementalDedup(spark, store,
+      graft.dedup.DedupConfig(), compactEvery)
     val n = math.max(100L, SparkEntry.pagesN(sfDir) / 2)
-    val (snap0, snap1) = SparkEntry.incSnapshots(spark, sfDir, n)
-    for ((snap, df) <- Seq((0, snap0), (1, snap1))) {
+    val step = math.max(1L, n / 10)
+    val corpus = graft.pages.PagesGen.pages(spark, n + (depth - 1) * step, 42L, cpus * 2)
+      .select("url", "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count() // generation excluded from the timed sections
+    println(s"[probe] depth=$depth n=$n step=$step compactEvery=$compactEvery")
+    for (snap <- 0 until depth) {
+      val df = corpus.filter(col("doc_id") < n + snap * step)
+        .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
+          concat(col("text"), lit(s" rev$snap"))).otherwise(col("text")))
       val t0 = System.nanoTime()
-      // time each stage by watching manifest appearance: easier — just time
-      // the whole snapshot and print per-stage write_ms from manifests after
       inc.processSnapshot(snap, df).count()
       val total = (System.nanoTime() - t0) / 1e9
       println(f"[probe] snapshot $snap total $total%.2f s")

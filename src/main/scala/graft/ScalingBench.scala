@@ -55,10 +55,30 @@ object ScalingBench {
         .stripMargin.replace("\n", "")
   }
 
-  def runAt(cores: Int, nDocs: Long): RunResult = {
+  def runAt(cores: Int, nDocs: Long): RunResult =
+    runAtMaster(s"local[$cores]", cores, nDocs)
+
+  /** Run the pipeline once under an arbitrary master. `local-cluster[n,c,mem]`
+    * gives n SEPARATE executor JVMs with private heaps — the direct test of
+    * the "local-mode wall-efficiency ceiling is the shared heap/allocator"
+    * attribution (multi-executor evidence without a real cluster). Executor
+    * processes are launched through $SPARK_HOME; they need the compiled
+    * classes on their classpath and an explicit executor memory matching the
+    * worker grant (the 1g default would ignore the worker size).
+    */
+  def runAtMaster(master: String, cores: Int, nDocs: Long): RunResult = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val builder = GraftSession.builder(s"local[$cores]", shufflePartitions = cores)
+    val builder = GraftSession.builder(master, shufflePartitions = cores)
+    if (master.startsWith("local-cluster")) {
+      val memMb = "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+        .findFirstMatchIn(master).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"unparseable local-cluster master: $master"))
+      builder
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    }
     // optional AQE toggle for replan-latency experiments
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       builder.config("spark.sql.adaptive.enabled", (v != "0").toString))
@@ -93,9 +113,20 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     if (args.nonEmpty) {
-      val cores = args(0).toInt
-      val r = runAt(cores, nDocs)
-      println(s"""{"metric":"pipeline_run","docs":$nDocs,"run":${r.json}}""")
+      // one measurement per JVM; the arg is either a core count (local[k])
+      // or a full master string (e.g. local-cluster[4,8,4096])
+      val master = scala.util.Try(args(0).toInt).toOption
+        .map(k => s"local[$k]").getOrElse(args(0))
+      val cores = "local-cluster\\[\\s*(\\d+)\\s*,\\s*(\\d+)".r
+        .findFirstMatchIn(master)
+        .map(m => m.group(1).toInt * m.group(2).toInt)
+        .orElse("local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1).toInt))
+        .getOrElse(Runtime.getRuntime.availableProcessors())
+      val r = runAtMaster(master, cores, nDocs)
+      println(s"""{"metric":"pipeline_run","docs":$nDocs,"master":"$master","run":${r.json}}""")
+      println("[stages] stage | run_ms cpu_ms")
+      for ((n, (run, cpu)) <- r.byName.toSeq.sortBy(-_._2._2))
+        println(s"[stages] $n | $run $cpu")
     } else {
       // alternate levels, best-of-N per level: robust to host noise (GC,
       // page-cache, co-tenant IO); minimum is the standard wall-clock

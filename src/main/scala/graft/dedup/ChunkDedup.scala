@@ -135,10 +135,12 @@ object ChunkDedup {
       .select(col("id").as("pos"), lit(cid).as("src_chkpt"), col("id").as("src_pos"))
     var resolved = first(cid).limit(0).select(col("pos"), col("chunk"))
     var cur = cid
-    // early termination: stop as soon as every claim is resolved (the
-    // reference stops at ref_id / prunes via chkpts_needed — here the claim
-    // set itself empties when no older checkpoint is referenced)
-    while (cur >= 0 && !pending.isEmpty) {
+    // chkpts_needed scan pruning (F4, list_approach.cpp:98-110): each round
+    // jumps straight to the NEWEST checkpoint any pending claim still
+    // references, so a restart touches only REFERENCED checkpoints — a
+    // shift pointing at checkpoint 0 never drags the scan through the
+    // unreferenced ones in between (ChunkDedupSpec counts store reads)
+    while (cur >= 0) {
       val pCur = pending.filter(col("src_chkpt") === cur)
         .select(col("pos"), col("src_pos"))
       val f = first(cur).select(col("pos").as("src_pos"), col("chunk"))
@@ -163,7 +165,10 @@ object ChunkDedup {
       pending = pending.filter(col("src_chkpt") =!= cur)
         .union(redirOld).union(fall)
         .localCheckpoint(true)
-      cur -= 1
+      // next referenced checkpoint (tiny agg over the checkpointed claims;
+      // null ⇔ every claim resolved — the old isEmpty early termination)
+      val nxt = pending.agg(max("src_chkpt")).head
+      cur = if (nxt.isNullAt(0)) -1 else nxt.getInt(0)
     }
     // completeness gate: an inconsistent or truncated store (a claim whose
     // first/shift row is missing, or pending claims left below chkpt 0)

@@ -35,7 +35,12 @@ import graft.state.SnapshotStore
   * resumability; per-partition lineage lands in each stage manifest).
   */
 final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
-                             cfg: DedupConfig = DedupConfig()) {
+                             cfg: DedupConfig = DedupConfig(),
+                             /** rewrite each append-only table's full prefix
+                               * into one compacted snapshot every this many
+                               * snapshots — bounds readRange fan-in at chain
+                               * depth (0 disables). */
+                             compactEvery: Int = 4) {
 
   /** Process snapshot `snap` of the pages table; returns (doc_id, cluster)
     * for this snapshot's documents. Idempotent.
@@ -177,6 +182,15 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
         .toDF("snapshot", "n_pages", "n_changed", "n_new_content",
           "n_edges", "n_assignments", "elapsed_ms")
     }
+
+    // Iceberg-style maintenance: periodically rewrite each append-only
+    // table's 0..snap prefix into one compacted snapshot, so a depth-100
+    // chain's readRange unions ≤ compactEvery scans instead of 100
+    // (SnapshotStore.compactUpTo is idempotent — resume-safe like a stage)
+    if (compactEvery > 0 && (snap + 1) % compactEvery == 0)
+      Seq("registry", "features", "probe_index", "edges")
+        .foreach(t => store.compactUpTo(t, snap))
+
     assignments
   }
 

@@ -26,6 +26,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   private def manifest(table: String, snap: Int): Path =
     dir(table, snap).resolve("_MANIFEST.json")
 
+  /** read() calls served by this instance — restart-pruning specs assert how
+    * many committed snapshots a reconstruction actually touched.
+    */
+  private val nReads = new java.util.concurrent.atomic.AtomicInteger
+  def readCount: Int = nReads.get
+
   def isCommitted(table: String, snap: Int): Boolean = Files.exists(manifest(table, snap))
 
   /** Write + commit one snapshot of a table. No-op if already committed. */
@@ -69,16 +75,43 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   def read(table: String, snap: Int): DataFrame = {
     require(isCommitted(table, snap), s"$table/snapshot=$snap not committed")
+    nReads.incrementAndGet()
     spark.read.parquet(dir(table, snap).toString)
   }
 
-  /** Read committed snapshots snapLo..snapHi of a table as one DataFrame with
-    * a `snapshot_id` column (partition-pruned scan analogue).
+  private def compactName(table: String): String = table + "__compacted"
+
+  /** Rewrite snapshots 0..upTo of an append-only table into ONE committed
+    * snapshot of the side table `<table>__compacted` (snapshot_id column
+    * preserved) — the Iceberg table-maintenance rewrite. readRange then
+    * scans the newest compacted prefix + the per-snapshot tail, so a deep
+    * chain's union fan-in is bounded by the compaction interval instead of
+    * growing with chain depth. Idempotent and crash-safe like any commit.
     */
-  def readRange(table: String, snapLo: Int, snapHi: Int): DataFrame =
-    (snapLo to snapHi).filter(isCommitted(table, _))
-      .map(s => read(table, s).withColumn("snapshot_id", lit(s)))
-      .reduce(_ unionByName _)
+  def compactUpTo(table: String, upTo: Int): Unit =
+    if (!isCommitted(compactName(table), upTo))
+      commit(compactName(table), upTo, readRange(table, 0, upTo),
+        Map("compacted_through" -> upTo.toString))
+
+  /** Read committed snapshots snapLo..snapHi of a table as one DataFrame with
+    * a `snapshot_id` column (partition-pruned scan analogue). A full-prefix
+    * read (snapLo = 0) transparently substitutes the newest compacted prefix
+    * ≤ snapHi for its per-snapshot scans.
+    */
+  def readRange(table: String, snapLo: Int, snapHi: Int): DataFrame = {
+    val compacted =
+      if (snapLo == 0) latest(compactName(table)).filter(_ <= snapHi) else None
+    compacted match {
+      case Some(c) =>
+        val tail = (c + 1 to snapHi).filter(isCommitted(table, _))
+          .map(s => read(table, s).withColumn("snapshot_id", lit(s)))
+        (read(compactName(table), c) +: tail).reduce(_ unionByName _)
+      case None =>
+        (snapLo to snapHi).filter(isCommitted(table, _))
+          .map(s => read(table, s).withColumn("snapshot_id", lit(s)))
+          .reduce(_ unionByName _)
+    }
+  }
 
   def latest(table: String): Option[Int] = {
     val t = Paths.get(root, table)

@@ -120,6 +120,32 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("restart scan pruning: only REFERENCED checkpoints are read (F4 chkpts_needed)") {
+    // A 6-checkpoint chain where checkpoint 5 is built ONLY from fresh
+    // content and checkpoint-0 content: restartFromStore(5) must jump its
+    // claim scan straight from 5 to 0 — the reference's chkpts_needed
+    // pruning (list_approach.cpp:98-110) — never touching 4..1. The store's
+    // read counter proves it: 5 reads (init + first/shift of 5 and of 0)
+    // instead of 13 with an unpruned walk.
+    val root = java.nio.file.Files.createTempDirectory("graft_chunk_prune").toString
+    val store = new graft.state.SnapshotStore(spark, root)
+    val n = 32
+    def rep(s: String) = (s * (n / s.length + 1)).take(n)
+    val steps = Seq( // disjoint alphabets ⇒ no FIXED fall-through at 5
+      rep("abcdefgh"), rep("ijklmnop"), rep("qrstuvwx"), rep("01234567"),
+      rep("ABCDEFGH"), rep("IJKLabcd")) // 5 = fresh I..L + cp0's a..d
+    locally {
+      val chain = new ChunkDedup.Chain(spark, n.toLong, store = Some(store))
+      steps.foreach(s => chain.checkpoint(ChunkDedup.chunkify(spark, s, 1)))
+    }
+    val fresh = new graft.state.SnapshotStore(spark, root) // counter at 0
+    val rows = ChunkDedup.restartFromStore(spark, fresh, 5).collect()
+    assert(rows.length == n)
+    assert(rows.sortBy(_.getLong(0)).map(_.getString(1)).mkString == steps(5))
+    assert(fresh.readCount <= 6,
+      s"restart read ${fresh.readCount} store snapshots — scan not pruned to refs")
+  }
+
   test("thin distributed sweep matches the local path at 4096 chunks") {
     // big enough that frontier thinning matters (12 tree levels); both
     // paths must agree on region counts AND leaf labels

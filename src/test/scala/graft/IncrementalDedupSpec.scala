@@ -203,6 +203,49 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(a2 == a1, s"labels drifted on an unchanged snapshot: $a1 vs $a2")
   }
 
+  test("deep chain with store compaction: 8 snapshots, compacted run matches uncompacted; fan-in bounded") {
+    // The reference runs 10-checkpoint chains (scripts/jobscript.sh:33); the
+    // store's readRange unions one scan per committed snapshot, so a deep
+    // chain needs periodic compaction (Iceberg-style rewrite) to keep the
+    // fan-in bounded. Compaction must be a pure layout change: identical
+    // final assignments, and a full-prefix read touches ≤ interval+1 scans.
+    def snapPages(s: Int): DataFrame = {
+      val base = PagesGen.pages(spark, 120 + 20 * s, seed = 42L, partitions = 4)
+      base.withColumn("text",
+        when(col("doc_id") % 37 === 0,
+          concat(col("text"), lit(s" rev${s / 2}"))).otherwise(col("text")))
+    }
+    def run(compactEvery: Int): (Map[Long, Long], String) = {
+      val root = Files.createTempDirectory(s"graft_inc_deep$compactEvery").toString
+      val inc = new IncrementalDedup(spark, new SnapshotStore(spark, root), cfg,
+        compactEvery)
+      var last: Map[Long, Long] = Map.empty
+      for (s <- 0 until 8)
+        last = inc.processSnapshot(s, snapPages(s)).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+      (last, root)
+    }
+    val (aOff, _) = run(0)
+    val (aOn, root) = run(3)
+    assert(aOn == aOff, "compaction changed cluster assignments")
+    val store = new SnapshotStore(spark, root)
+    assert(store.isCommitted("registry__compacted", 5))
+    assert(store.isCommitted("edges__compacted", 5))
+    // compacted prefix holds exactly the union it replaced
+    val viaCompact = store.readRange("registry", 0, 5)
+      .select("ckey", "content_id", "snapshot_id").collect().toSet // reads compacted(5)
+    val direct = (0 to 5).map(s => store.read("registry", s)
+        .withColumn("snapshot_id", lit(s)))
+      .reduce(_ unionByName _)
+      .select("ckey", "content_id", "snapshot_id").collect().toSet
+    assert(viaCompact == direct)
+    // fan-in: a fresh handle reading the full 8-snapshot prefix touches the
+    // compacted snapshot + the 2-snapshot tail = 3 scans, not 8
+    val fresh = new SnapshotStore(spark, root)
+    fresh.readRange("registry", 0, 7).count()
+    assert(fresh.readCount == 3, s"fan-in not bounded: ${fresh.readCount} reads")
+  }
+
   test("incremental probe path: hot-key flood stays bounded and coalesces into one cluster") {
     // Mirror of PipelineSpec's batch flood, on the INCREMENTAL new-vs-all
     // probe joins: snapshot 0 accumulates a 1500-doc near-duplicate flood
