@@ -530,8 +530,8 @@ object SparkEntry {
       val exact = graft.sim.Ann.exactTopK(e, 0L until 20L, 5)
         .select(col("qid"), col("nbr"))
       val approx = graft.sim.Ann.lshTopK(e, k = 5, bits = c.bits,
-          tables = c.tables, seed = c.seed)
-        .filter(col("qid") < 20).select(col("qid"), col("nbr"))
+          tables = c.tables, seed = c.seed, queryIds = 0L until 20L)
+        .select(col("qid"), col("nbr"))
       exact.join(approx, Seq("qid", "nbr"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(lit(20L).as("n_queries"),
@@ -543,8 +543,8 @@ object SparkEntry {
       val exact = graft.sim.Ann.exactTopK(e, 0L until 20L, 5)
         .select(col("qid"), col("nbr"))
       val approx = graft.sim.Ann.ivfTopK(e, k = 5, nCells = c.nCells,
-          nProbe = c.nProbe)
-        .filter(col("qid") < 20).select(col("qid"), col("nbr"))
+          nProbe = c.nProbe, queryIds = 0L until 20L)
+        .select(col("qid"), col("nbr"))
       exact.join(approx, Seq("qid", "nbr"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(lit(20L).as("n_queries"),

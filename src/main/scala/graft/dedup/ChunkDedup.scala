@@ -97,6 +97,18 @@ object ChunkDedup {
       .toDF("pos", "src_chkpt", "src_pos")
   }
 
+  /** MD5 of the full checkpoint buffer (chunks concatenated in position
+    * order) — the reference's whole-buffer restart digest
+    * (restart_chkpt_files.cpp:104-108). One aggregation job; a full-buffer
+    * hash is inherently sequential in ANY engine, so the sort+concat runs
+    * inside one agg rather than pretending to parallelize.
+    */
+  private[graft] def fullBufferMd5(chunks: DataFrame): String =
+    chunks.agg(md5(concat_ws("",
+        array_sort(collect_list(struct(col("pos"), col("chunk"))))
+          .getField("chunk")).cast("binary")))
+      .head.getString(0)
+
   /** Split a text into fixed-size character chunks (ragged tail), one row per
     * chunk — the reference's P1 chunking (basic_approach.cpp:29-33).
     */
@@ -178,6 +190,15 @@ object ChunkDedup {
     require(got == numChunks,
       s"restart($cid) resolved only $got of $numChunks positions — store is " +
         "inconsistent (missing first/shift rows or claims fell past chkpt 0)")
+    // full-buffer digest verification (restart_chkpt_files.cpp:104-108):
+    // the reconstruction's MD5 must equal the digest recorded at commit —
+    // stronger than row counts, catches any content-level corruption
+    for (expected <- """"full_md5":\s*"([0-9a-f]+)"""".r
+        .findFirstMatchIn(store.manifestJson("chunk_first", cid)).map(_.group(1))) {
+      val actual = fullBufferMd5(out)
+      require(actual == expected,
+        s"restart($cid) full-buffer md5 $actual != committed $expected")
+    }
     out
   }
 
@@ -534,7 +555,11 @@ object ChunkDedup {
       // The in-memory per-leaf shiftLeafMap remains the public API.
       store.foreach { st =>
         st.commit("chunk_first", cid, storedFirst,
-          Map("num_chunks" -> numChunks.toString))
+          Map("num_chunks" -> numChunks.toString,
+            // full-buffer MD5 of the checkpoint content (reference:
+            // restart_chkpt_files.cpp:104-108 hashes the restarted buffer
+            // and compares) — restartFromStore recomputes and verifies
+            "full_md5" -> fullBufferMd5(chunks)))
         st.commit("chunk_shift", cid, shiftRegions.get)
       }
 

@@ -66,7 +66,12 @@ object Ann {
     */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
               iters: Int = 3, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              /** restrict output to these query ids (exact restriction —
+                * per-qid results are independent); probes are generated for
+                * the restricted set only, so candidate volume scales with
+                * the query count, not the corpus. */
+              queryIds: Seq[Long] = Nil): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -110,7 +115,10 @@ object Ann {
     val index = vecs.mapPartitions(_.map { case (id, v) =>
       (topCells(v, bc.value, 1)(0), id, v)
     }).toDF("cell", "nbr", "nv")
-    val probes = vecs.mapPartitions(_.flatMap { case (id, v) =>
+    val qvecs =
+      if (queryIds.isEmpty) vecs
+      else vecs.filter(r => queryIds.contains(r._1))
+    val probes = qvecs.mapPartitions(_.flatMap { case (id, v) =>
       topCells(v, bc.value, nProbe).iterator.map(c => (c, id, v))
     }).toDF("cell", "qid", "qv")
     val sims = probes.join(index, "cell")
@@ -155,10 +163,14 @@ object Ann {
   /** Approximate top-k for EVERY vector via SRP-LSH bucket collisions.
     * maxBucket guards degenerate buckets (skew: near-identical embedding
     * floods) — beyond it only the lowest-id star pairs are emitted.
+    * `queryIds`: restrict output to these query ids (per-qid results are
+    * independent, so the restriction is exact); the filter lands BEFORE the
+    * cosine re-rank, so a 20-query gate never re-ranks the whole corpus.
     */
   def lshTopK(emb: DataFrame, k: Int, bits: Int = 12, tables: Int = 4,
               seed: Long = 42L, maxBucket: Int = 256,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIds: Seq[Long] = Nil): DataFrame = {
     val bucketCols = (0 until tables).map(t =>
       gf.srpBucket(col(vecCol), bits, seed + t).as(s"b$t"))
     val bucketed = emb.select(col(idCol).as("id") +: col(vecCol).as("v") +: bucketCols: _*)
@@ -173,7 +185,10 @@ object Ann {
       .select(col("p").as("a"), col("q").as("b"))
       .filter(col("a") =!= col("b")).distinct()
     // directed candidates, exact cosine re-rank
-    val directed = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+    val directedAll = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+    val directed =
+      if (queryIds.isEmpty) directedAll
+      else directedAll.filter(col("a").isInCollection(queryIds))
     val va = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
     val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
     val sims = directed.join(va, "a").join(vb, "b")

@@ -113,6 +113,10 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     } // chain out of scope: only the store survives
     val fresh = new graft.state.SnapshotStore(spark, root) // new handle, files only
     for (cid <- snapshots.indices) {
+      // every restart below also re-verifies the committed full-buffer MD5
+      // (restartFromStore requires it when present)
+      assert(fresh.manifestJson("chunk_first", cid).contains("\"full_md5\""),
+        s"checkpoint $cid manifest lacks the full-buffer digest")
       val rows = ChunkDedup.restartFromStore(spark, fresh, cid).collect()
       assert(rows.length == n, s"checkpoint $cid: ${rows.length}/$n chunks")
       val got = rows.sortBy(_.getLong(0)).map(_.getString(1)).mkString
