@@ -15,10 +15,12 @@ object AnnRecallProbe {
       val exact = graft.sim.Ann.exactTopK(e, 0L until 20L, 5)
         .select(col("qid"), col("nbr")).persist()
       val nExact = exact.count()
-      for ((bits, tables) <- Seq((10, 6), (8, 8), (6, 8), (6, 12), (4, 12))) {
+      val auto = graft.sim.Ann.lshBitsFor(n)
+      for ((bits, tables) <- Seq((10, 6), (8, 8), (6, 8), (6, 12), (4, 12),
+        (auto, 12))) {
         val approx = graft.sim.Ann.lshTopK(e, k = 5, bits = bits,
-          tables = tables, seed = 7L)
-          .filter(col("qid") < 20).select(col("qid"), col("nbr"))
+          tables = tables, seed = 7L, queryIds = 0L until 20L)
+          .select(col("qid"), col("nbr"))
         val hits = exact.join(approx, Seq("qid", "nbr"), "left_semi").count()
         println(s"[annrecall] $sf n=$n lsh bits=$bits tables=$tables: " +
           s"$hits/$nExact = ${hits.toDouble / nExact}")

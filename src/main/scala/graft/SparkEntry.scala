@@ -153,12 +153,14 @@ object SparkEntry {
     "pages_long_repeats" -> ((s, dir) =>
       graft.dedup.LongRepeats.repeats(pagesCorpus(s, dir))),
 
-    // suffix-array pass over host-co-partitioned docs (exact within partition)
+    // suffix-array pass scoped to host groups (doc_id / GROUP): the output
+    // is exactly the maximal same-group repeats ≥ 60 — a deterministic
+    // contract with a full LCE SQL oracle (the per-partition variant's
+    // output depends on hash co-residence; promoted from rows-only in r4)
     "pages_sa_repeats" -> ((s, dir) =>
-      graft.dedup.LongRepeats.repeatsWithinPartitions(
-        pagesCorpus(s, dir).repartition(
-          s.sparkContext.defaultParallelism,
-          (col("doc_id") / graft.pages.PagesGen.GROUP).cast("long")),
+      graft.dedup.LongRepeats.repeatsWithinGroups(
+        pagesCorpus(s, dir),
+        (col("doc_id") / graft.pages.PagesGen.GROUP).cast("long"),
         minLen = 60)),
 
     // Cross-validation gate for the two independent long-repeat
@@ -955,6 +957,48 @@ object SparkEntry {
          |  FROM blk, generate_series(35, 5000) AS s(k)
          |  WHERE (jb IS NULL AND k = 35)
          |     OR (jb IS NOT NULL AND k >= 35 + 256*jb AND k <= 35 + 256*(jb + 1))
+         |  GROUP BY a, pa, b, pb)
+         |SELECT a, b, CAST(pa - 1 AS INT) AS a_start, CAST(pb - 1 AS INT) AS b_start,
+         |       CAST(len AS INT) AS length
+         |FROM spans""".stripMargin,
+    // group-scoped SA pass: same LCE enumeration as pages_long_repeats but
+    // with 60-char anchors and the same-host-group restriction — the join
+    // on (gram, grp) is tiny, the span extension identical
+    "pages_sa_repeats" ->
+      s"""WITH p AS (SELECT doc_id, doc_id // ${graft.pages.PagesGen.GROUP} AS grp,
+         |             lower(text) AS t FROM $pagesGlob),
+         |g AS (
+         |  SELECT doc_id, grp, i, substr(t, CAST(i AS INT), 60) AS gram,
+         |         CASE WHEN i = 1 THEN NULL ELSE substr(t, CAST(i-1 AS INT), 1) END AS prev
+         |  FROM p, generate_series(1, 5000) AS s(i)
+         |  WHERE i <= length(t) - 59),
+         |anchors AS (
+         |  SELECT x.doc_id AS a, x.i AS pa, y.doc_id AS b, y.i AS pb
+         |  FROM g x JOIN g y ON x.gram = y.gram AND x.grp = y.grp
+         |   AND (x.doc_id < y.doc_id OR (x.doc_id = y.doc_id AND x.i < y.i))
+         |   AND (x.prev IS NULL OR y.prev IS NULL OR x.prev <> y.prev)),
+         |at AS (
+         |  SELECT an.a, an.pa, an.b, an.pb, x.t AS ta, y.t AS tb,
+         |         length(x.t) AS la, length(y.t) AS lb
+         |  FROM anchors an JOIN p x ON x.doc_id = an.a JOIN p y ON y.doc_id = an.b),
+         |blk AS (
+         |  SELECT a, pa, b, pb, ta, tb, la, lb,
+         |         min(CASE WHEN substr(ta, CAST(pa + 60 + 256*j AS INT), 256)
+         |                    <> substr(tb, CAST(pb + 60 + 256*j AS INT), 256)
+         |                  THEN j END) AS jb
+         |  FROM at, generate_series(0, 20) AS s(j)
+         |  GROUP BY ALL),
+         |spans AS (
+         |  SELECT a, pa, b, pb,
+         |         CASE WHEN any_value(jb) IS NULL
+         |              THEN any_value(least(la - pa, lb - pb)) + 1
+         |              ELSE min(CASE WHEN pa + k > la OR pb + k > lb
+         |                              OR substr(ta, CAST(pa + k AS INT), 1)
+         |                              <> substr(tb, CAST(pb + k AS INT), 1)
+         |                            THEN k END) END AS len
+         |  FROM blk, generate_series(60, 5000) AS s(k)
+         |  WHERE (jb IS NULL AND k = 60)
+         |     OR (jb IS NOT NULL AND k >= 60 + 256*jb AND k <= 60 + 256*(jb + 1))
          |  GROUP BY a, pa, b, pb)
          |SELECT a, b, CAST(pa - 1 AS INT) AS a_start, CAST(pb - 1 AS INT) AS b_start,
          |       CAST(len AS INT) AS length

@@ -52,87 +52,135 @@ object LongRepeats {
         col("q.doc_id").as("b"), col("q.pos").as("pb"))
   }
 
-  /** Suffix-array candidates within each partition: adjacent SA entries with
-    * LCP ≥ minLen spanning different docs (or different positions of one doc).
+  /** How many suffixes of one lcp-run pair up exhaustively; larger runs fall
+    * back to star pairs against the run head (the maxBucket analogue — a
+    * degenerate 'aaaa…' flood stays linear). Runs are occurrence counts of
+    * ONE repeated span inside one segment, normally tiny.
+    */
+  final val RUN_CAP = 512
+
+  /** SA candidate pairs within one concatenated segment: one LEFT-MAXIMAL
+    * anchor per occurrence PAIR with common prefix ≥ minLen. Pairs come from
+    * maximal lcp ≥ minLen RUNS of the suffix array (every suffix pair inside
+    * a run shares ≥ minLen), not just SA-adjacent entries — m occurrences of
+    * one span yield the full C(m,2) pair set, the same all-pairs contract as
+    * the winnowing pass and the LCE oracle. Left-maximality (preceding bytes
+    * differ, or a doc boundary / 0x00 separator) keeps exactly one anchor
+    * per pair-span: interior offsets of a span have equal preceding bytes.
+    * A preceding 0x00 separator is a region START, not a shared byte: two
+    * doc-start-aligned suffixes are both preceded by separators (which
+    * compare equal) yet cannot extend left — dropping them would silently
+    * miss doc-start repeats (e.g. shared boilerplate headers).
+    */
+  private def segmentPairs(docs: Array[(Long, Array[Byte])],
+                           minLen: Int): Iterator[Row] = {
+    // concatenate with 0x00 separators (absent from normalized text)
+    val total = docs.map(_._2.length).sum + docs.length
+    val buf = new Array[Byte](total)
+    val bounds = new Array[(Long, Int, Int)](docs.length) // (doc, start, end)
+    var off = 0
+    for (i <- docs.indices) {
+      val (id, bytes) = docs(i)
+      System.arraycopy(bytes, 0, buf, off, bytes.length)
+      bounds(i) = (id, off, off + bytes.length)
+      off += bytes.length
+      buf(off) = 0; off += 1
+    }
+    def locate(p: Int): (Long, Int) = {
+      // binary search over bounds
+      var lo = 0; var hi = bounds.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (bounds(mid)._2 <= p) lo = mid else hi = mid - 1
+      }
+      (bounds(lo)._1, p - bounds(lo)._2)
+    }
+    val sa = SuffixArray.build(buf)
+    val lcp = SuffixArray.kasai(buf, sa)
+    // lcp may cross a separator only if one suffix starts with it — the
+    // separator byte 0 sorts first and never equals text bytes, so a common
+    // prefix of length >= minLen cannot contain it.
+    @inline def leftMaximalPair(x: Int, y: Int): Boolean =
+      x == 0 || y == 0 || buf(x - 1) == 0 || buf(y - 1) == 0 ||
+        buf(x - 1) != buf(y - 1)
+    def emit(x: Int, y: Int): Option[Row] = {
+      val (d1, p1) = locate(x)
+      val (d2, p2) = locate(y)
+      if (d1 != d2 || p1 != p2) {
+        val ((aa, pa), (bb, pb)) =
+          if (d1 < d2 || (d1 == d2 && p1 <= p2)) ((d1, p1), (d2, p2))
+          else ((d2, p2), (d1, p1))
+        Some(Row(aa, pa, bb, pb))
+      } else None
+    }
+    // maximal runs: [s, e] with every lcp in [s, e-1] >= minLen
+    var i = 0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (i < lcp.length) {
+      if (lcp(i) >= minLen) {
+        var e = i
+        while (e < lcp.length && lcp(e) >= minLen) e += 1
+        // suffixes sa(i..e) form the run
+        val runEnd = e
+        val size = runEnd - i + 1
+        if (size <= RUN_CAP) {
+          var p = i
+          while (p <= runEnd) {
+            var q = p + 1
+            while (q <= runEnd) {
+              if (leftMaximalPair(sa(p), sa(q))) rows ++= emit(sa(p), sa(q))
+              q += 1
+            }
+            p += 1
+          }
+        } else { // degenerate run: star pairs against the run head
+          var q = i + 1
+          while (q <= runEnd) {
+            if (leftMaximalPair(sa(i), sa(q))) rows ++= emit(sa(i), sa(q))
+            q += 1
+          }
+        }
+        i = runEnd
+      } else i += 1
+    }
+    rows.iterator
+  }
+
+  /** Pack docs into ≤ MAX_N-byte segments (cross-segment repeats are the
+    * winnowing pass's job); oversized docs are skipped.
+    */
+  private def segmented(all: Array[(Long, Array[Byte])])
+    : Iterator[Array[(Long, Array[Byte])]] = {
+    val segments = scala.collection.mutable.ArrayBuffer.empty[Array[(Long, Array[Byte])]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    var curBytes = 0L
+    for (d <- all if d._2.length + 1 < SuffixArray.MAX_N) {
+      if (curBytes + d._2.length + 1 > SuffixArray.MAX_N && cur.nonEmpty) {
+        segments += cur.toArray; cur = scala.collection.mutable.ArrayBuffer.empty
+        curBytes = 0L
+      }
+      cur += d; curBytes += d._2.length + 1
+    }
+    if (cur.nonEmpty) segments += cur.toArray
+    segments.iterator
+  }
+
+  private val candidateSchema = StructType(Seq(
+    StructField("a", LongType, false), StructField("pa", IntegerType, false),
+    StructField("b", LongType, false), StructField("pb", IntegerType, false)))
+
+  /** Suffix-array candidates within each partition: run pairs with LCP ≥
+    * minLen spanning different docs (or different positions of one doc).
     * Exact for co-partitioned docs; O(n log² n) per partition.
     */
   def suffixArrayCandidates(normDocs: DataFrame, minLen: Int): DataFrame = {
     val spark = normDocs.sparkSession
-    val schema = StructType(Seq(
-      StructField("a", LongType, false), StructField("pa", IntegerType, false),
-      StructField("b", LongType, false), StructField("pb", IntegerType, false)))
     val rdd = normDocs.select("doc_id", "t").rdd.mapPartitions { it =>
       val all = it.map(r => (r.getLong(0), r.getString(1)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
-      // segment the partition so each SA build stays under MAX_N bytes
-      // (cross-segment repeats are the winnowing pass's job)
-      val segments = scala.collection.mutable.ArrayBuffer.empty[Array[(Long, Array[Byte])]]
-      var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
-      var curBytes = 0L
-      for (d <- all if d._2.length + 1 < SuffixArray.MAX_N) {
-        if (curBytes + d._2.length + 1 > SuffixArray.MAX_N && cur.nonEmpty) {
-          segments += cur.toArray; cur = scala.collection.mutable.ArrayBuffer.empty
-          curBytes = 0L
-        }
-        cur += d; curBytes += d._2.length + 1
-      }
-      if (cur.nonEmpty) segments += cur.toArray
-      segments.iterator.flatMap { docs =>
-        // concatenate with 0x00 separators (absent from normalized text)
-        val total = docs.map(_._2.length).sum + docs.length
-        val buf = new Array[Byte](total)
-        val bounds = new Array[(Long, Int, Int)](docs.length) // (doc, start, end)
-        var off = 0
-        for (i <- docs.indices) {
-          val (id, bytes) = docs(i)
-          System.arraycopy(bytes, 0, buf, off, bytes.length)
-          bounds(i) = (id, off, off + bytes.length)
-          off += bytes.length
-          buf(off) = 0; off += 1
-        }
-        def locate(p: Int): (Long, Int) = {
-          // binary search over bounds
-          var lo = 0; var hi = bounds.length - 1
-          while (lo < hi) {
-            val mid = (lo + hi + 1) >>> 1
-            if (bounds(mid)._2 <= p) lo = mid else hi = mid - 1
-          }
-          (bounds(lo)._1, p - bounds(lo)._2)
-        }
-        val sa = SuffixArray.build(buf)
-        val lcp = SuffixArray.kasai(buf, sa)
-        (0 until lcp.length).iterator.filter { i =>
-          // left-maximality: inside a shared region of length L every one of
-          // its L suffix pairs is SA-adjacent with lcp >= minLen — emitting
-          // all of them makes the verify join quadratic in region length.
-          // Keep only pairs whose preceding bytes differ (region starts);
-          // the extender re-derives the full span from that single anchor.
-          // A preceding 0x00 separator is a region START, not a shared byte:
-          // two doc-start-aligned suffixes are both preceded by separators
-          // (which compare equal) yet cannot extend left — dropping them
-          // would silently miss doc-start repeats (e.g. shared boilerplate
-          // headers).
-          lcp(i) >= minLen && {
-            val x = sa(i); val y = sa(i + 1)
-            x == 0 || y == 0 || buf(x - 1) == 0 || buf(y - 1) == 0 ||
-              buf(x - 1) != buf(y - 1)
-          }
-        }.flatMap { i =>
-          val (d1, p1) = locate(sa(i))
-          val (d2, p2) = locate(sa(i + 1))
-          // lcp may cross a separator only if one suffix starts with it — the
-          // separator byte 0 sorts first and never equals text bytes, so a
-          // common prefix of length >= minLen cannot contain it.
-          if (d1 != d2 || p1 != p2) {
-            val ((aa, pa), (bb, pb)) =
-              if (d1 < d2 || (d1 == d2 && p1 <= p2)) ((d1, p1), (d2, p2))
-              else ((d2, p2), (d1, p1))
-            Some(Row(aa, pa, bb, pb))
-          } else None
-        }
-      }
+      segmented(all).flatMap(docs => segmentPairs(docs, minLen))
     }
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(rdd, candidateSchema)
   }
 
   /** Verify + extend candidates to maximal spans ≥ minLen.
@@ -193,6 +241,39 @@ object LongRepeats {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager + unpersist: see repeats()
     try verifyAndExtend(n, suffixArrayCandidates(n, minLen), minLen, minLen)
+      .localCheckpoint(true)
+    finally n.unpersist()
+  }
+
+  /** Suffix-array pass scoped to GROUPS (e.g. host buckets): docs of one
+    * group are hash-shuffled together and sorted contiguously, and each
+    * group builds its own suffix array — the output is EXACTLY the maximal
+    * repeats ≥ minLen whose two occurrences share a group, a deterministic,
+    * partitioning-INDEPENDENT contract (the per-partition variant's output
+    * depends on which groups hash-co-reside, which no SQL oracle can
+    * reproduce; this one has one). One narrow shuffle on the group key;
+    * groups bigger than MAX_N bytes segment like partitions do.
+    */
+  def repeatsWithinGroups(docs: DataFrame, groupExpr: org.apache.spark.sql.Column,
+                          minLen: Int, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val n = docs
+      .select(groupExpr.as("g"), col(idCol).as("doc_id"),
+        lower(col(textCol)).as("t"))
+      .repartition(spark.sparkContext.defaultParallelism, col("g"))
+      .sortWithinPartitions("g", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = n.select("g", "doc_id", "t").rdd.mapPartitions { it =>
+      val all = it.map(r => (r.getLong(0), r.getLong(1), r.getString(2)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
+      all.groupBy(_._1).valuesIterator.flatMap { grp =>
+        val docsArr = grp.sortBy(_._2).map(d => (d._2, d._3))
+        segmented(docsArr).flatMap(seg => segmentPairs(seg, minLen))
+      }
+    }
+    val candidates = spark.createDataFrame(rdd, candidateSchema)
+    try verifyAndExtend(n.select("doc_id", "t"), candidates, minLen, minLen)
       .localCheckpoint(true)
     finally n.unpersist()
   }

@@ -30,6 +30,19 @@ object Ann {
   final case class IvfConfig(nCells: Int, nProbe: Int)
   val PinnedIvf: IvfConfig = IvfConfig(nCells = 16, nProbe = 6)
 
+  /** SRP bits as a function of corpus size — bits must track log2(n):
+    * too many bits shatter true neighborhoods (AnnRecallProbe: bits=10 →
+    * recall 0.02–0.07; even bits=6 × 12 tables drops to 0.49–0.53 on the
+    * driver's modest-cosine embeddings), too few flood buckets past the
+    * star cap. The probe's anchor is ≈ 125 vectors/bucket, which holds
+    * recall 0.80–0.87 at BOTH measured corpus sizes (n=500 and n=2000 →
+    * bits=4, the pinned config). Callers with larger corpora should use
+    * this with PinnedLsh.tables/seed and re-probe before trusting a new
+    * density regime.
+    */
+  def lshBitsFor(n: Long): Int =
+    math.max(4, math.ceil(math.log(math.max(1L, n) / 125.0) / math.log(2)).toInt)
+
   /** Exact top-k neighbors for each query id. Queries should be small enough
     * to broadcast (the corpus side streams).
     */

@@ -82,16 +82,37 @@ class LongRepeatsSpec extends AnyFunSuite with SparkTestBase {
       22L -> (prefix + (0 until 40).map(i => s"gamma$i").mkString(" "))).repartition(1)
     val got = LongRepeats.repeatsWithinPartitions(docs, minLen = 40).collect()
     val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
-    // SA adjacency yields a spanning path over the m sharers (m-1 pairs), not
-    // the full clique: suffixes sort 20 ("...alpha") < 21 ("...beta") <
-    // 22 ("...gamma"). Pre-fix, only the pair touching buffer offset 0
-    // survived (the other anchors were dropped as "non-left-maximal" because
-    // both preceding bytes are the 0x00 separator).
-    assert(pairs == Set((20L, 21L), (21L, 22L)), s"got $pairs")
+    // run-pair emission (r4) yields the FULL C(3,2) clique over the m
+    // sharers — the same all-pairs contract as winnowing and the LCE
+    // oracle. (The pre-r4 SA-adjacency kernel emitted only the spanning
+    // path; before the separator fix, only the pair touching buffer offset
+    // 0 survived at all — both preceding bytes are the 0x00 separator,
+    // which compares equal.)
+    assert(pairs == Set((20L, 21L), (20L, 22L), (21L, 22L)), s"got $pairs")
     got.foreach { r =>
       assert(r.getInt(2) == 0 && r.getInt(3) == 0) // spans anchored at doc start
       assert(r.getInt(4) >= prefix.trim.length)
     }
+  }
+
+  test("group-scoped SA pass: full same-group clique, cross-group repeats excluded, partitioning-independent") {
+    val fill3 = (0 until 40).map(i => s"gamma$i").mkString(" ") + " "
+    val docs = mkDocs(
+      0L -> (filler1 + shared + " unique zero"),
+      1L -> (filler2 + shared + " unique one"),
+      2L -> (fill3 + shared + " unique two"),
+      3L -> "nothing shared in this document at all")
+    // one group (doc_id / 4): the three sharers form the full C(3,2) clique
+    val all = LongRepeats.repeatsWithinGroups(docs,
+        (col("doc_id") / 4).cast("long"), minLen = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $all")
+    // split groups (doc_id / 2): the cross-group pairs (0,2) and (1,2)
+    // vanish — the contract is group-scoped, not partition-accident-scoped
+    val grouped = LongRepeats.repeatsWithinGroups(docs,
+        (col("doc_id") / 2).cast("long"), minLen = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grouped == Set((0L, 1L)), s"got $grouped")
   }
 
   test("in-doc repeats are reported once with distinct positions") {
