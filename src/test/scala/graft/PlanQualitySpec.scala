@@ -86,6 +86,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("query-restricted ANN: the qid filter sits below the re-rank window") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.sim.Ann.lshTopK(e, k = 5, bits = 4, tables = 4, seed = 7L,
+      queryIds = 0L until 20L)
+    val plan = executed(df)
+    val windows = flatten(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no window exec in:\n$plan")
+    // the 20-query restriction must be INSIDE the top-k window's subtree
+    // (pushed below the cosine re-rank joins) — a post-window filter would
+    // mean the whole corpus was ranked first, the gate-scale scale-killer
+    assert(windows.exists(w => flatten(w).drop(1).exists(
+        _.toString.contains("INSET"))),
+      s"qid INSET restriction not found below the window:\n$plan")
+  }
+
   test("exact dedup election is one shuffle over narrow rows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = graft.dedup.ExactDedup.assignments(docs)
