@@ -115,6 +115,61 @@ class LongRepeatsSpec extends AnyFunSuite with SparkTestBase {
     assert(grouped == Set((0L, 1L)), s"got $grouped")
   }
 
+  /** All maximal common spans ≥ minLen between (and inside) docs — the
+    * O(n²·len) definition, enumerated directly: every left-maximal offset
+    * pair extended to its maximal length. The SA run-pair kernel must equal
+    * this exactly (modulo RUN_CAP stars, tested separately).
+    */
+  private def bruteSpans(docs: Seq[(Long, String)],
+                         minLen: Int): Set[(Long, Long, Int, Int, Int)] = {
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Int, Int, Int)]
+    for ((da, taR) <- docs; (db, tbR) <- docs if da <= db) {
+      val ta = taR.toLowerCase; val tb = tbR.toLowerCase
+      for (i <- ta.indices; j <- tb.indices if !(da == db && i == j)) {
+        if (i == 0 || j == 0 || ta(i - 1) != tb(j - 1)) {
+          var l = 0
+          while (i + l < ta.length && j + l < tb.length && ta(i + l) == tb(j + l)) l += 1
+          if (l >= minLen)
+            out += (if (da == db && i > j) (da, db, j, i, l) else (da, db, i, j, l))
+        }
+      }
+    }
+    out.toSet
+  }
+
+  test("run-pair SA kernel equals the brute-force maximal-span definition on random small-alphabet corpora") {
+    val rnd = new scala.util.Random(20260817L)
+    for (round <- 0 until 5) {
+      val nDocs = 3 + rnd.nextInt(3)
+      val docs = (0L until nDocs.toLong).map { id =>
+        // 3-letter alphabet at length ~100 breeds many multi-occurrence
+        // repeats → lcp runs with > 2 members, the run-pair logic's stress
+        id -> (0 until (80 + rnd.nextInt(60))).map(_ => "abc" (rnd.nextInt(3))).mkString
+      }
+      val expected = bruteSpans(docs, minLen = 8)
+      val got = LongRepeats.repeatsWithinGroups(mkDocs(docs: _*), lit(0L), minLen = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+        .toSet
+      assert(got == expected,
+        s"round $round: missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+      assert(expected.nonEmpty, s"round $round fixture degenerate")
+    }
+  }
+
+  test("degenerate run past RUN_CAP: star pairs only, still sound") {
+    // 700 'a's → every suffix shares >= minLen prefix, one run of ~700 >
+    // RUN_CAP 512 → the kernel stars against the run head instead of the
+    // C(700,2) clique; every emitted row must still be a true maximal span
+    val docs = mkDocs(0L -> ("a" * 700))
+    val got = LongRepeats.repeatsWithinGroups(docs, lit(0L), minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.nonEmpty)
+    val expected = bruteSpans(Seq(0L -> ("a" * 700)), 10)
+    got.foreach(row => assert(expected.contains(row), s"unsound row $row"))
+    assert(got.length < 5000, s"star cap failed: ${got.length} rows")
+  }
+
   test("in-doc repeats are reported once with distinct positions") {
     val block = "repeated internal template block number " + ("x7 " * 10)
     val docs = mkDocs(5L -> (filler1 + block + filler2 + block + " tail"))
