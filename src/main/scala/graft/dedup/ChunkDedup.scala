@@ -208,6 +208,15 @@ object ChunkDedup {
       */
     final val LOCAL_SWEEP_MAX: Long = 1L << 16
 
+    /** STORELESS chains up to this many chunks run fully serial on the
+      * driver (the reference's own in-memory single-device mode): one
+      * collect per checkpoint instead of ~18 eager toy-scale Spark jobs.
+      * Store-backed chains always take the Spark path (commits need real
+      * distributed writes); parity is spec-gated three ways
+      * (serial / local-sweep / distributed).
+      */
+    final val SERIAL_MAX: Long = 1L << 12
+
     /** Build the three uniform-label forests in memory. Returns the internal
       * nodes of (first, fixed, shift-candidate) forests as (node, digest).
       * Pure index arithmetic — correct for ragged heaps.
@@ -282,7 +291,8 @@ object ChunkDedup {
     */
   final class Chain(spark: SparkSession, numChunks: Long,
                     localSweepMax: Long = Chain.LOCAL_SWEEP_MAX,
-                    store: Option[graft.state.SnapshotStore] = None) {
+                    store: Option[graft.state.SnapshotStore] = None,
+                    serialMax: Long = Chain.SERIAL_MAX) {
     require(numChunks >= 1)
     private val nLeaves = numChunks
     private val leafBase = nLeaves - 1 // chunk j ↦ node leafBase + j
@@ -297,10 +307,99 @@ object ChunkDedup {
     /** accumulated reconstructions used by restart(): (chkpt, pos, chunk). */
     private var reconAll: DataFrame = _
 
+    // serial-mode state (storeless toy chains: one driver map per structure)
+    private val serialMode = store.isEmpty && numChunks <= serialMax
+    private type SDigest = scala.collection.immutable.ArraySeq[Byte]
+    private def skey(d: Array[Byte]): SDigest =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(d)
+    private val sDistinct = scala.collection.mutable.LinkedHashMap.empty[SDigest, (Int, Long)]
+    private var sPrev: Array[Array[Byte]] = _
+    private val sRecon = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+
     def history: Seq[ChkptResult] = results.toSeq
 
     /** Process the next checkpoint; chunks = (pos: Long, chunk: String). */
-    def checkpoint(chunks: DataFrame): ChkptResult = {
+    def checkpoint(chunks: DataFrame): ChkptResult =
+      if (serialMode) serialCheckpoint(chunks) else sparkCheckpoint(chunks)
+
+    /** Serial path: identical semantics, one collect, zero shuffles — the
+      * reference's in-memory single-device execution. Region counting and
+      * forest building REUSE the exact local kernels the Spark fast path
+      * collects into (Chain.localForests / regionCounts), so the only
+      * serial-specific logic is leaf labeling + the distinct-map probes.
+      */
+    private def serialCheckpoint(chunks: DataFrame): ChkptResult = {
+      curId += 1
+      val cid = curId
+      val rows = chunks.select(col("pos"), col("chunk")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      require(rows.length == numChunks, s"expected $numChunks chunks, got ${rows.length}")
+      val chunkStrs = rows.map(_._2)
+      val digests = chunkStrs.map(s => graft.functions.Impl.murmur128Digest(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val n = numChunks.toInt
+
+      // ---- leaf labeling (FIXED → global SHIFT → fresh election) ----------
+      val labels = new Array[String](n)
+      val srcOf = new Array[(Int, Long)](n) // per SHIFT leaf: (src_chkpt, src_node)
+      val freshByDigest = scala.collection.mutable.LinkedHashMap
+        .empty[SDigest, scala.collection.mutable.ArrayBuffer[Int]]
+      for (pos <- 0 until n) {
+        val d = skey(digests(pos))
+        if (sPrev != null && java.util.Arrays.equals(sPrev(pos), digests(pos))) {
+          labels(pos) = FIXED
+        } else sDistinct.get(d) match {
+          case Some(src) => labels(pos) = SHIFT; srcOf(pos) = src
+          case None =>
+            freshByDigest.getOrElseUpdate(d,
+              scala.collection.mutable.ArrayBuffer.empty) += pos
+        }
+      }
+      for ((d, positions) <- freshByDigest) {
+        val win = positions.min // lowest node wins (J2 atomic_min)
+        labels(win) = FIRST
+        for (p <- positions if p != win) {
+          labels(p) = SHIFT; srcOf(p) = (cid, leafBase + win)
+        }
+        sDistinct.put(d, (cid, leafBase + win)) // insert-if-absent: d is absent
+      }
+
+      // ---- forests + region counts (shared local kernels) ------------------
+      val leafEntries = Array.tabulate(n)(pos =>
+        ((leafBase + pos).toLong, digests(pos), labels(pos)))
+      val (firstInt, fixedInt, shiftCand) = Chain.localForests(leafEntries)
+      firstInt.foreach { case (node, d) =>
+        val k = skey(d)
+        if (!sDistinct.contains(k)) sDistinct.put(k, (cid, node))
+      }
+      val presentShift = shiftCand.collect {
+        case (node, d) if sDistinct.contains(skey(d)) => node
+      }.toSet
+      val counts = Chain.regionCounts(leafEntries, firstInt, fixedInt,
+        shiftCand, presentShift)
+
+      // ---- outputs (tiny local DataFrames; no jobs until consumed) ---------
+      import spark.implicits._
+      val labelDf = (0 until n).map(p => ((leafBase + p).toLong, labels(p)))
+        .toDF("node", "label")
+      val firstDf = (0 until n).collect {
+        case p if labels(p) == FIRST => (p.toLong, chunkStrs(p))
+      }.toDF("pos", "chunk")
+      val shiftDf = (0 until n).collect {
+        case p if labels(p) == SHIFT =>
+          (p.toLong, srcOf(p)._1, srcOf(p)._2 - leafBase)
+      }.toDF("pos", "src_chkpt", "src_pos")
+
+      val res = ChkptResult(cid, labelDf,
+        counts.getOrElse(FIRST, 0L), counts.getOrElse(SHIFT, 0L),
+        firstDf, shiftDf)
+      results += res
+      sRecon += chunkStrs
+      sPrev = digests
+      res
+    }
+
+    private def sparkCheckpoint(chunks: DataFrame): ChkptResult = {
       curId += 1
       val cid = curId
       val leaves = chunks
@@ -602,7 +701,11 @@ object ChunkDedup {
 
     /** Restart: full chunk content of checkpoint `cid` (pos, chunk). */
     def restart(cid: Int): DataFrame =
-      reconAll.filter(col("chkpt") === cid).select("pos", "chunk")
+      if (serialMode) {
+        import spark.implicits._
+        sRecon(cid).zipWithIndex.map { case (c, p) => (p.toLong, c) }
+          .toSeq.toDF("pos", "chunk")
+      } else reconAll.filter(col("chkpt") === cid).select("pos", "chunk")
 
     private def mapOrEmpty(): DataFrame =
       if (distinctMap == null) {

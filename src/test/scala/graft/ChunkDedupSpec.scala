@@ -70,21 +70,35 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(restartString(chain, 1, 11) == step1)
   }
 
-  test("distributed per-level sweep agrees with the local fast path") {
-    // same inputs through both execution paths ⇒ identical region counts AND
-    // identical per-leaf labels (labels are leaf-level by contract)
-    for ((s0, s1, fo, sd, id) <- goldenVectors.take(5)) {
-      val chain = new graft.dedup.ChunkDedup.Chain(spark, 8L, localSweepMax = 0L)
-      chain.checkpoint(ChunkDedup.chunkify(spark, s0, 1))
-      val r = chain.checkpoint(ChunkDedup.chunkify(spark, s1, 1))
-      assert((r.numFirstOcur, r.numShiftDupl) == ((fo, sd)), s"case $id (distributed)")
-
-      val local = new graft.dedup.ChunkDedup.Chain(spark, 8L)
-      local.checkpoint(ChunkDedup.chunkify(spark, s0, 1))
-      val rl = local.checkpoint(ChunkDedup.chunkify(spark, s1, 1))
-      def labelMap(df: org.apache.spark.sql.DataFrame) =
-        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      assert(labelMap(r.labels) == labelMap(rl.labels), s"case $id label parity")
+  test("serial, local-sweep and distributed paths agree (labels, counts, shift sources, restart)") {
+    // same inputs through all THREE execution paths ⇒ identical region
+    // counts, per-leaf labels, shift metadata and restarts. The storeless
+    // default is the serial driver path (Chain.SERIAL_MAX); serialMax = 0
+    // forces the Spark fast path; localSweepMax = 0 on top forces the
+    // per-level distributed sweep.
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shiftMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    for ((s0, s1, fo, sd, id) <- goldenVectors) {
+      val variants = Seq(
+        "serial" -> new ChunkDedup.Chain(spark, 8L),
+        "localsweep" -> new ChunkDedup.Chain(spark, 8L, serialMax = 0L),
+        "distributed" -> new ChunkDedup.Chain(spark, 8L,
+          localSweepMax = 0L, serialMax = 0L))
+      val rs = variants.map { case (name, chain) =>
+        chain.checkpoint(ChunkDedup.chunkify(spark, s0, 1))
+        val r = chain.checkpoint(ChunkDedup.chunkify(spark, s1, 1))
+        assert((r.numFirstOcur, r.numShiftDupl) == ((fo, sd)), s"case $id ($name)")
+        assert(restartString(chain, 1, 8) == s1, s"case $id ($name) restart")
+        (name, r)
+      }
+      val (_, base) = rs.head
+      for ((name, r) <- rs.tail) {
+        assert(labelMap(r.labels) == labelMap(base.labels), s"case $id $name labels")
+        assert(shiftMap(r.shiftLeafMap) == shiftMap(base.shiftLeafMap),
+          s"case $id $name shift sources")
+      }
     }
   }
 
