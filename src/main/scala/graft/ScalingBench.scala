@@ -82,6 +82,12 @@ object ScalingBench {
     // optional AQE toggle for replan-latency experiments
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       builder.config("spark.sql.adaptive.enabled", (v != "0").toString))
+    // experiment hook: arbitrary configs "k=v;k2=v2" (e.g. shuffle
+    // compression off for single-host loopback cluster runs)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
