@@ -578,6 +578,21 @@ object SparkEntry {
           when(col("n_bad") === 0, 1L).otherwise(0L).as("contract_ok"))
     }),
 
+    // Benchmark decontamination: every doc containing any probe string
+    // VERBATIM (eval-set hygiene). Probes = deterministic 60-char slices of
+    // every 200th doc; detection is winnowing-fingerprint broadcast-join +
+    // exact substring verification (Decontaminate scaladoc: positional
+    // winnowing guarantee ⇒ exact for probes ≥ 35 chars). Oracle: plain
+    // strpos containment.
+    "pages_decontaminate" -> ((s, dir) => {
+      val corpus = pagesCorpus(s, dir)
+      val probes = corpus
+        .filter(col("doc_id") % 200 === 0 && length(col("text")) >= 160)
+        .select(col("doc_id").as("probe_id"),
+          lower(substring(col("text"), 101, 60)).as("probe"))
+      graft.text.Decontaminate.matches(corpus, probes)
+    }),
+
     // SimHash Hamming-ball gate: on a deterministic corpus slice, the
     // emitted pairs must EQUAL the brute-force all-pairs Hamming-ball set
     // {(a,b) : hamming(f_a, f_b) ≤ d} — soundness (every emitted pair is a
@@ -961,6 +976,13 @@ object SparkEntry {
          |SELECT a, b, CAST(pa - 1 AS INT) AS a_start, CAST(pb - 1 AS INT) AS b_start,
          |       CAST(len AS INT) AS length
          |FROM spans""".stripMargin,
+    "pages_decontaminate" ->
+      s"""WITH pr AS (SELECT doc_id AS probe_id, lower(substr(text, 101, 60)) AS probe
+         |            FROM $pagesGlob WHERE doc_id % 200 = 0 AND length(text) >= 160)
+         |SELECT d.doc_id AS doc_id, pr.probe_id AS probe_id,
+         |       CAST(strpos(lower(d.text), pr.probe) - 1 AS INT) AS at
+         |FROM $pagesGlob d, pr
+         |WHERE strpos(lower(d.text), pr.probe) > 0""".stripMargin,
     // group-scoped SA pass: same LCE enumeration as pages_long_repeats but
     // with 60-char anchors and the same-host-group restriction — the join
     // on (gram, grp) is tiny, the span extension identical

@@ -170,6 +170,35 @@ class LongRepeatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.length < 5000, s"star cap failed: ${got.length} rows")
   }
 
+  test("decontamination: planted probes found at exact offsets, absent probes excluded") {
+    import spark.implicits._
+    val probe1 = "the held out evaluation answer string planted verbatim here ok" // 63 chars
+    val probe2 = "another benchmark probe text that appears in several documents!"
+    val absent = "this probe string never occurs anywhere in the corpus at all!!!"
+    assert(Seq(probe1, probe2, absent).forall(p => p.length >= 35 && p == p.toLowerCase))
+    val docs = mkDocs(
+      0L -> (filler1 + probe1 + " tail"),
+      1L -> (filler2 + probe2),
+      2L -> (probe2 + " " + filler1 + probe1), // probe at doc START + second probe
+      3L -> ("entirely clean document with no planted material whatsoever " + filler2))
+    val probes = Seq((10L, probe1), (11L, probe2), (12L, absent))
+      .toDF("probe_id", "probe")
+    val got = graft.text.Decontaminate.matches(docs, probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expected = Map(
+      (0L, 10L) -> filler1.length,
+      (2L, 10L) -> (probe2.length + 1 + filler1.length),
+      (1L, 11L) -> filler2.length,
+      (2L, 11L) -> 0)
+    assert(got == expected, s"got $got")
+    // first-occurrence semantics: a doc containing the probe TWICE reports
+    // the earlier offset
+    val twice = mkDocs(7L -> (probe1 + " middle " + probe1))
+    val g2 = graft.text.Decontaminate.matches(twice, probes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(g2 == Map((7L, 10L) -> 0), s"got $g2")
+  }
+
   test("in-doc repeats are reported once with distinct positions") {
     val block = "repeated internal template block number " + ("x7 " * 10)
     val docs = mkDocs(5L -> (filler1 + block + filler2 + block + " tail"))
