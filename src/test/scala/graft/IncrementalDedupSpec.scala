@@ -203,6 +203,35 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(a2 == a1, s"labels drifted on an unchanged snapshot: $a1 vs $a2")
   }
 
+  test("incremental over 3 append-only snapshots equals the batch pipeline's clusters exactly") {
+    // The strongest cross-implementation property the engine has: processing
+    // a corpus incrementally (new-vs-accumulated probes, append-only edge
+    // sets, star-capped hot buckets with min-OLD anchors) must land on the
+    // SAME final cluster assignment as the one-shot batch pipeline (all-at-
+    // once banding, batch star caps). Edge SETS differ; connectivity — and
+    // therefore min-doc_id labels — must not. Append-only workload (no
+    // revisions): content_id = global min doc_id per content on both sides.
+    val all = PagesGen.pages(spark, 360, seed = 42L, partitions = 4)
+      .select("url", "doc_id", "text").persist()
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft_inc_parity").toString)
+    val inc = new IncrementalDedup(spark, store, cfg)
+    inc.processSnapshot(0, all.filter(col("doc_id") < 120))
+    inc.processSnapshot(1, all.filter(col("doc_id") < 240))
+    val incremental = inc.processSnapshot(2, all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchRes = graft.dedup.NearDupPipeline.run(spark, all, cfg)
+    val batch = batchRes.assignments
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batchRes.close()
+    all.unpersist()
+    assert(incremental.size == 360 && batch.size == 360)
+    val diff = (0L until 360L).filter(d => incremental(d) != batch(d))
+    assert(diff.isEmpty,
+      s"${diff.size} docs diverge, e.g. ${diff.take(5).map(d =>
+        s"$d: inc=${incremental(d)} batch=${batch(d)}")}")
+  }
+
   test("deep chain with store compaction: 8 snapshots, compacted run matches uncompacted; fan-in bounded") {
     // The reference runs 10-checkpoint chains (scripts/jobscript.sh:33); the
     // store's readRange unions one scan per committed snapshot, so a deep
