@@ -298,7 +298,7 @@ object SparkEntry {
     "prefix_scan" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
-      val r = d.agg(min("doc_id"), max("doc_id")).head
+      val r = d.agg(min("doc_id"), max("doc_id")).head()
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val parts = s.sparkContext.defaultParallelism.toLong
       val width = math.max(1L, (hi - lo) / parts + 1)

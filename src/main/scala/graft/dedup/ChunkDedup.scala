@@ -107,7 +107,7 @@ object ChunkDedup {
     chunks.agg(md5(concat_ws("",
         array_sort(collect_list(struct(col("pos"), col("chunk"))))
           .getField("chunk")).cast("binary")))
-      .head.getString(0)
+      .head().getString(0)
 
   /** Split a text into fixed-size character chunks (ragged tail), one row per
     * chunk — the reference's P1 chunking (basic_approach.cpp:29-33).
@@ -179,7 +179,7 @@ object ChunkDedup {
         .localCheckpoint(true)
       // next referenced checkpoint (tiny agg over the checkpointed claims;
       // null ⇔ every claim resolved — the old isEmpty early termination)
-      val nxt = pending.agg(max("src_chkpt")).head
+      val nxt = pending.agg(max("src_chkpt")).head()
       cur = if (nxt.isNullAt(0)) -1 else nxt.getInt(0)
     }
     // completeness gate: an inconsistent or truncated store (a claim whose
