@@ -239,9 +239,9 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     // fan-in bounded. Compaction must be a pure layout change: identical
     // final assignments, and a full-prefix read touches ≤ interval+1 scans.
     def snapPages(s: Int): DataFrame = {
-      val base = PagesGen.pages(spark, 120 + 20 * s, seed = 42L, partitions = 4)
+      val base = PagesGen.pages(spark, 60 + 10 * s, seed = 42L, partitions = 4)
       base.withColumn("text",
-        when(col("doc_id") % 37 === 0,
+        when(col("doc_id") % 17 === 0,
           concat(col("text"), lit(s" rev${s / 2}"))).otherwise(col("text")))
     }
     def run(compactEvery: Int): (Map[Long, Long], String) = {
