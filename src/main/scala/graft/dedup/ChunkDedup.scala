@@ -334,6 +334,12 @@ object ChunkDedup {
       val rows = chunks.select(col("pos"), col("chunk")).collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       require(rows.length == numChunks, s"expected $numChunks chunks, got ${rows.length}")
+      // positions must be a permutation of 0..n-1 — a duplicated+missing pos
+      // would pass the count check and silently mislabel (the distributed
+      // path has the matching cardinality gate)
+      for (i <- rows.indices)
+        require(rows(i)._1 == i, s"chunk positions are not a permutation of " +
+          s"0..${numChunks - 1}: index $i holds pos ${rows(i)._1}")
       val chunkStrs = rows.map(_._2)
       val digests = chunkStrs.map(s => graft.functions.Impl.murmur128Digest(
         s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
@@ -653,12 +659,22 @@ object ChunkDedup {
       // the i-th leaf of its source subtree (equal digests ⇒ equal shapes).
       // The in-memory per-leaf shiftLeafMap remains the public API.
       store.foreach { st =>
-        st.commit("chunk_first", cid, storedFirst,
-          Map("num_chunks" -> numChunks.toString,
-            // full-buffer MD5 of the checkpoint content (reference:
-            // restart_chkpt_files.cpp:104-108 hashes the restarted buffer
-            // and compares) — restartFromStore recomputes and verifies
-            "full_md5" -> fullBufferMd5(chunks)))
+        // the digest is computed ONLY when this commit will actually happen:
+        // a resume over an already-committed checkpoint must not re-funnel
+        // the whole buffer through the single-task digest aggregation
+        // (commit() itself is a no-op then)
+        if (!st.isCommitted("chunk_first", cid))
+          st.commit("chunk_first", cid, storedFirst,
+            Map("num_chunks" -> numChunks.toString,
+              // full-buffer MD5 of the checkpoint content (reference:
+              // restart_chkpt_files.cpp:104-108 hashes the restarted buffer
+              // and compares) — restartFromStore recomputes and verifies.
+              // Inherently sequential in any engine (ChunkDedup.fullBufferMd5
+              // scaladoc); a 10⁸-chunk store-backed checkpoint should prefer
+              // a Merkle-style digest — the per-leaf murmur128 tree above IS
+              // that digest, so the full-buffer MD5 stays a reference-fidelity
+              // extra, not the scale path.
+              "full_md5" -> fullBufferMd5(chunks)))
         st.commit("chunk_shift", cid, shiftRegions.get)
       }
 

@@ -72,8 +72,9 @@ object LongRepeats {
     * compare equal) yet cannot extend left — dropping them would silently
     * miss doc-start repeats (e.g. shared boilerplate headers).
     */
-  private def segmentPairs(docs: Array[(Long, Array[Byte])],
-                           minLen: Int): Iterator[Row] = {
+  private def segmentPairs(docs: Array[(Long, Array[Byte])], minLen: Int,
+                           cappedRuns: org.apache.spark.util.LongAccumulator)
+    : Iterator[Row] = {
     // concatenate with 0x00 separators (absent from normalized text)
     val total = docs.map(_._2.length).sum + docs.length
     val buf = new Array[Byte](total)
@@ -134,6 +135,8 @@ object LongRepeats {
             p += 1
           }
         } else { // degenerate run: star pairs against the run head
+          cappedRuns.add(1) // visible: star fallback diverges from the
+                            // all-pairs C(m,2) contract (callers warn loudly)
           var q = i + 1
           while (q <= runEnd) {
             if (leftMaximalPair(sa(i), sa(q))) rows ++= emit(sa(i), sa(q))
@@ -173,15 +176,36 @@ object LongRepeats {
     * minLen spanning different docs (or different positions of one doc).
     * Exact for co-partitioned docs; O(n log² n) per partition.
     */
-  def suffixArrayCandidates(normDocs: DataFrame, minLen: Int): DataFrame = {
+  def suffixArrayCandidates(normDocs: DataFrame, minLen: Int): DataFrame =
+    suffixArrayCandidatesAcc(normDocs, minLen)._1
+
+  private def suffixArrayCandidatesAcc(normDocs: DataFrame, minLen: Int)
+    : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val spark = normDocs.sparkSession
+    val acc = cappedRunsAcc(spark)
     val rdd = normDocs.select("doc_id", "t").rdd.mapPartitions { it =>
       val all = it.map(r => (r.getLong(0), r.getString(1)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
-      segmented(all).flatMap(docs => segmentPairs(docs, minLen))
+      segmented(all).flatMap(docs => segmentPairs(docs, minLen, acc))
     }
-    spark.createDataFrame(rdd, candidateSchema)
+    (spark.createDataFrame(rdd, candidateSchema), acc)
   }
+
+  /** Per-session accumulator counting lcp-runs that exceeded RUN_CAP and fell
+    * back to star pairs (diverging from the all-pairs contract — e.g. the
+    * pages_sa_repeats LCE oracle). Checked after every eager SA pass below;
+    * a nonzero count warns LOUDLY instead of silently under-emitting,
+    * mirroring how simhash_ball_gate raises maxBucket.
+    */
+  private def cappedRunsAcc(spark: SparkSession) =
+    spark.sparkContext.longAccumulator("graft.longrepeats.capped_runs")
+
+  private def warnIfCapped(acc: org.apache.spark.util.LongAccumulator): Unit =
+    if (acc.value > 0)
+      System.err.println(s"[graft] WARNING: ${acc.value} suffix-array lcp " +
+        s"run(s) exceeded RUN_CAP=$RUN_CAP and emitted star pairs only — " +
+        "output diverges from the all-pairs C(m,2) contract (an LCE oracle " +
+        "over this output will see missing pairs)")
 
   /** Verify + extend candidates to maximal spans ≥ minLen.
     *
@@ -196,7 +220,33 @@ object LongRepeats {
     */
   def verifyAndExtend(normDocs: DataFrame, candidates: DataFrame,
                       gram: Int, minLen: Int): DataFrame = {
-    val byPair = candidates.groupBy(col("a"), col("b"))
+    // ---- diagonal chain-collapse: one anchor per (pair, diagonal, span) ----
+    // All anchors of ONE maximal span lie on one diagonal (pa − pb constant)
+    // with consecutive gaps < gram: winnowing selects a shared fingerprint at
+    // the same relative offset at least every `window` < gram positions
+    // inside the span; the SA generator emits one left-maximal anchor per
+    // span to begin with. Conversely two same-diagonal anchors closer than
+    // `gram` MUST belong to the same span — their gram-length matches
+    // overlap, so the union region matches contiguously and extendMatch
+    // yields the identical maximal span from either. Keeping only chain
+    // HEADS (first anchor of each ≥gram-gapped chain) therefore preserves
+    // the exact span set while cutting extendMatch evaluations by the
+    // anchor redundancy (~2·len/window per near-dup pair ⇒ 30–50× at sf0.1)
+    // and shrinking the per-pair anchor lists the next aggregation buffers.
+    // lag() runs in a sort-based window — spillable, no hash-agg buffer of
+    // 10⁶ structs (the r4 bench's memory-pressure amplifier).
+    // (Masking caveat: a chain head whose gram is a HASH-collision false
+    // anchor could suppress a real anchor behind it — a 64-bit collision
+    // between two specific nearby grams, the same risk class as the ckey
+    // content key used for exact dedup; accepted corpus-wide.)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    val heads = candidates
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("prev_pa", lag(col("pa"), 1).over(w))
+      .filter(col("prev_pa").isNull || col("pa") - col("prev_pa") >= gram)
+      .select(col("a"), col("b"), col("pa"), col("pb"))
+    val byPair = heads.groupBy(col("a"), col("b"))
       .agg(collect_set(struct(col("pa"), col("pb"))).as("anchors"))
     val ta = normDocs.select(col("doc_id").as("a"), col("t").as("ta"))
     val tb = normDocs.select(col("doc_id").as("b"), col("t").as("tb"))
@@ -240,9 +290,12 @@ object LongRepeats {
     val n = norm(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager + unpersist: see repeats()
-    try verifyAndExtend(n, suffixArrayCandidates(n, minLen), minLen, minLen)
-      .localCheckpoint(true)
-    finally n.unpersist()
+    val (cand, acc) = suffixArrayCandidatesAcc(n, minLen)
+    try {
+      val out = verifyAndExtend(n, cand, minLen, minLen).localCheckpoint(true)
+      warnIfCapped(acc)
+      out
+    } finally n.unpersist()
   }
 
   /** Suffix-array pass scoped to GROUPS (e.g. host buckets): docs of one
@@ -264,17 +317,21 @@ object LongRepeats {
       .repartition(spark.sparkContext.defaultParallelism, col("g"))
       .sortWithinPartitions("g", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val acc = cappedRunsAcc(spark)
     val rdd = n.select("g", "doc_id", "t").rdd.mapPartitions { it =>
       val all = it.map(r => (r.getLong(0), r.getLong(1), r.getString(2)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
       all.groupBy(_._1).valuesIterator.flatMap { grp =>
         val docsArr = grp.sortBy(_._2).map(d => (d._2, d._3))
-        segmented(docsArr).flatMap(seg => segmentPairs(seg, minLen))
+        segmented(docsArr).flatMap(seg => segmentPairs(seg, minLen, acc))
       }
     }
     val candidates = spark.createDataFrame(rdd, candidateSchema)
-    try verifyAndExtend(n.select("doc_id", "t"), candidates, minLen, minLen)
-      .localCheckpoint(true)
-    finally n.unpersist()
+    try {
+      val out = verifyAndExtend(n.select("doc_id", "t"), candidates,
+        minLen, minLen).localCheckpoint(true)
+      warnIfCapped(acc)
+      out
+    } finally n.unpersist()
   }
 }

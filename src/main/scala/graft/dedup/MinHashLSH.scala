@@ -131,25 +131,47 @@ object MinHashLSH {
     val k = keyCols.map(col)
     // same unique-(key, e) caller contract as boundedBucketPairs (the
     // committed index tables hold one row per (content, key) by
-    // construction); disjointness ⇒ the counts add exactly
-    val so = oldRows.groupBy(k: _*)
-      .agg(count(lit(1)).as("cnt_old"), min(col("e")).as("mn_old"))
-    val sn = newRows.groupBy(k: _*)
-      .agg(count(lit(1)).as("cnt_new"), min(col("e")).as("mn_new"))
-    val stats = sn.join(so, keyCols, "left").select(
-      k :+ (coalesce(col("cnt_old"), lit(0L)) + col("cnt_new")).as("cnt")
-        :+ coalesce(col("mn_old"), col("mn_new")).as("anchor"): _*)
-    val smallKeys = stats.filter(col("cnt") <= maxBucket).select(k: _*)
-    val all = oldRows.unionByName(newRows)
-    val small = newRows.join(smallKeys, keyCols, "left_semi")
-      .withColumnRenamed("e", "p")
-      .join(all.withColumnRenamed("e", "q"), keyCols)
+    // construction); disjointness ⇒ the counts add exactly.
+    //
+    // ONE tagged stream, ONE exchange: old∪new rows are tagged and shuffled
+    // by key once; the per-key stats aggregate, the stats join-back (same
+    // partitioning — the exchange is reused, not repeated) and the
+    // small-key pair aggregation all run on that single shuffle. The
+    // previous form shuffled the accumulated old index TWICE (stats + the
+    // new×all join) and the new side three times — ~6 exchanges of plan
+    // latency per snapshot at toy scale, and a doubled accumulated-index
+    // scan at 100 TB (the index is the side that grows forever; the fused
+    // kernel reads and shuffles it exactly once per snapshot).
+    val tagged = oldRows.select(k :+ col("e") :+ lit(false).as("is_new"): _*)
+      .unionByName(newRows.select(k :+ col("e") :+ lit(true).as("is_new"): _*))
+    val stats = tagged.groupBy(k: _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("cnt_new"),
+        min(when(!col("is_new"), col("e"))).as("mn_old"),
+        min(when(col("is_new"), col("e"))).as("mn_new"))
+      // keys with no new arrival emit nothing (their old pairs surfaced
+      // when the newer member registered); singleton keys have no pair
+      .filter(col("cnt_new") > 0 && col("cnt") > 1)
+    val joined = tagged.join(stats, keyCols)
+    // hot keys: star edges (anchor, e_new) streamed one-in/≤one-out, anchor
+    // = min OLD element when any exists (a hot bucket's new minimum still
+    // links into the component its old members already form), else min new
+    val hot = joined
+      .filter(col("cnt") > maxBucket && col("is_new")
+        && col("e") =!= coalesce(col("mn_old"), col("mn_new")))
+      .select(coalesce(col("mn_old"), col("mn_new")).as("p"), col("e").as("q"))
+    // small keys: new×(old∪new) minus self via bounded per-key arrays
+    // (collect_set ignores the nulls the `when` leaves on old rows)
+    val pairsExpr =
+      """flatten(transform(news, x ->
+        |  transform(alls, y -> struct(x AS p, y AS q))))""".stripMargin
+    val small = joined.filter(col("cnt") <= maxBucket)
+      .groupBy(k: _*)
+      .agg(collect_set(when(col("is_new"), col("e"))).as("news"),
+        sort_array(collect_set(col("e"))).as("alls"))
+      .select(explode(expr(pairsExpr)).as("pr"))
+      .select(col("pr.p").as("p"), col("pr.q").as("q"))
       .filter(col("p") =!= col("q"))
-      .select(col("p"), col("q"))
-    val hot = newRows
-      .join(stats.filter(col("cnt") > maxBucket), keyCols)
-      .filter(col("e") =!= col("anchor"))
-      .select(col("anchor").as("p"), col("e").as("q"))
     small.union(hot)
   }
 

@@ -128,9 +128,14 @@ object Ann {
     val index = vecs.mapPartitions(_.map { case (id, v) =>
       (topCells(v, bc.value, 1)(0), id, v)
     }).toDF("cell", "nbr", "nv")
+    // Column-form restriction (not a typed lambda): stays codegen'd and
+    // pushes into the parquet scan — at corpus scale the probe side reads
+    // |queryIds| rows, not the corpus (PlanQualitySpec gates the pushdown,
+    // mirroring lshTopK's qid gate)
     val qvecs =
       if (queryIds.isEmpty) vecs
-      else vecs.filter(r => queryIds.contains(r._1))
+      else vecs.filter(col("id").isInCollection(queryIds))
+        .as[(Long, Array[Float])]
     val probes = qvecs.mapPartitions(_.flatMap { case (id, v) =>
       topCells(v, bc.value, nProbe).iterator.map(c => (c, id, v))
     }).toDF("cell", "qid", "qv")

@@ -39,6 +39,16 @@ object Decontaminate {
               probeCol: String = "probe"): DataFrame = {
     val nd = docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("nt"))
     val np = probes.select(col(probeIdCol).as("probe_id"), col(probeCol).as("p"))
+    // ENFORCE the exactness precondition instead of documenting it: a probe
+    // shorter than gram+window−1 is outside the winnowing guarantee and
+    // would silently produce false negatives. The probe side is tiny
+    // (broadcast by design), so the check is one cheap job.
+    val minProbe = gram + window - 1
+    val nShort = np.filter(length(col("p")) < minProbe).count()
+    require(nShort == 0,
+      s"$nShort probe(s) shorter than gram+window-1 = $minProbe chars — " +
+        "detection is only exact at or above that length; lengthen the " +
+        "probes or lower (gram, window)")
     def fps(df: DataFrame, id: String, text: Column): DataFrame =
       df.select(col(id), explode(gf.winnow(text, gram, window)).as("f"))
         .select(col("f.hash").as("h"), col(id), col("f.pos").as("pos"))
