@@ -18,11 +18,17 @@ object EdgeProbe {
       println(f"[edgeprobe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    def keysOf(features: org.apache.spark.sql.DataFrame) =
+      features.select(col("ckey"),
+          explode(graft.functions.gf.bands(col("sig"), cfg.bands)).as("key"))
+        .unionByName(features.select(col("ckey"),
+          explode(graft.functions.gf.simhashKeys(col("sim64"),
+            cfg.simhashBlocks, cfg.simhashMaxHamming)).as("key")))
     for (snap <- Seq(0, 1)) {
-      val newKeys = store.read("probe_index", snap)
+      val newKeys = keysOf(store.read("features", snap))
       val oldKeys =
         if (snap == 0) newKeys.limit(0).select("key", "ckey")
-        else store.readRange("probe_index", 0, snap - 1).select("key", "ckey")
+        else keysOf(store.readRange("features", 0, snap - 1)).select("key", "ckey")
       t(s"snap$snap scan newKeys")(newKeys.count())
       val cand = graft.dedup.MinHashLSH.boundedProbePairs(
           newKeys.select(col("key"), col("ckey").as("e")),

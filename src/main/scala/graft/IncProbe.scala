@@ -38,7 +38,7 @@ object IncProbe {
       val total = (System.nanoTime() - t0) / 1e9
       println(f"[probe] snapshot $snap total $total%.2f s")
       for (t <- Seq("pages_keyed", "changed", "registry", "features",
-        "probe_index", "edges", "content_clusters", "assignments", "metrics")
+        "edges", "content_clusters", "assignments", "metrics")
            if store.isCommitted(t, snap)) {
         val j = store.manifestJson(t, snap)
         val ms = """"write_ms":\s*(\d+)""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("?")

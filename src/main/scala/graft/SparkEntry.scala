@@ -438,10 +438,13 @@ object SparkEntry {
     "events_windowed_agg" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAgg(s, s"$dir/events.parquet")),
 
-    // Typed per-key custom state logic (KeyValueGroupedDataset.flatMapGroups):
-    // gap-based sessionization of the events stream table.
+    // Gap-based sessionization of the events table, in the unbounded-user
+    // shape: secondary sort + O(1)-state streaming fold (sessionizeSorted).
+    // The typed KeyValueGroupedDataset.flatMapGroups form (sessionize)
+    // remains the per-user-custom-logic showcase and is spec-gated
+    // identical to this one (AggAndSessionSpec).
     "events_sessionize" -> ((s, dir) =>
-      graft.streaming.EventStream.sessionize(s, s"$dir/events.parquet", 30)),
+      graft.streaming.EventStream.sessionizeSorted(s, s"$dir/events.parquet", 30)),
 
     // A5-style histogram: exact-dup cluster size → count of clusters.
     "cluster_size_histogram" -> ((s, dir) =>
@@ -524,8 +527,36 @@ object SparkEntry {
           when(col("n_bad") === 0, 1L).otherwise(0L).as("all_within_tolerance"))
     }),
 
-    // Document fingerprints (rolling 64-bit + murmur128 hex) — rows-only.
-    "text_fingerprints" -> ((s, dir) => graft.text.TextAnalysis.fingerprints(docs(s, dir))),
+    // Fingerprint-kernel gate (promoted from a rows-only listing in r5):
+    // one oracle-checked row asserting (a) corpus-wide injectivity of BOTH
+    // fingerprint columns (distinct fp64 / digest128 counts == distinct
+    // normalized texts — a 64-bit collision at corpus scale is ~1e-11), and
+    // (b) the DISTRIBUTED murmur128 codegen path agrees byte-for-byte with
+    // the driver-side KAT-verified Impl on an 8-doc sample — codegen/eval
+    // drift in the kernel turns this row red. Per-row surface:
+    // TextAnalysis.fingerprints.
+    "text_fingerprints" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nt = gf.normalizeText(col("text"))
+      val inj = d.agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(gf.fingerprint64(nt)).as("n_fp"),
+          count_distinct(gf.murmur128(nt)).as("n_dg"),
+          count_distinct(nt).as("n_nt"))
+        .select(col("n_docs"),
+          when(col("n_fp") === col("n_nt") && col("n_dg") === col("n_nt"), 1L)
+            .otherwise(0L).as("fingerprint_injective_ok"))
+      val expect = d.filter(col("doc_id") < 8).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> graft.functions.Impl.murmur128Digest(
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString).toMap
+      val agree = d.filter(col("doc_id") < 8)
+        .select(when(lower(hex(gf.murmur128(col("text"))))
+          === element_at(typedLit(expect), col("doc_id")), 0L).otherwise(1L).as("bad"))
+        .agg(sum(col("bad")).as("n_bad"))
+        .select(when(col("n_bad") === 0, 1L).otherwise(0L).as("dist_matches_local"))
+      inj.crossJoin(agree)
+    }),
 
     // Similarity search, scale path: SRP-LSH bucketed ANN — rows-only; the
     // config is the SAME pinned one the ann_lsh_recall gate validates
@@ -630,7 +661,26 @@ object SparkEntry {
     // one oracle-pinned row. maxBucket is raised so star-capping can't
     // legitimately drop non-representative pairs (same reasoning as
     // sa_winnow_consistency_gate).
+    // The ball check is O(n²) BY CONSTRUCTION (it brute-forces every pair),
+    // so its slice is a deliberate cost/coverage point: 2000 docs IS the
+    // whole verify corpus at sf0.01 — full coverage at the scale the
+    // CORRECTNESS gate runs — while at bench scale (20k docs) widening it
+    // would pay 100× (≈2 min) to exercise no new code path. The kernel
+    // itself is additionally validated corpus-WIDE by the linear
+    // hamming_xcheck column below: gf.hamming (graft popcount-of-xor
+    // expression) must agree with Spark's independent bit_count(a ^ b) on
+    // every adjacent fingerprint pair of the FULL corpus.
     "simhash_ball_gate" -> ((s, dir) => {
+      val fullFps = graft.dedup.SimHashDedup.fingerprints(pagesCorpus(s, dir))
+      val fbA = fullFps.select(col("doc_id"), col("sim64"))
+      val fbB = fullFps.select((col("doc_id") - 1).as("doc_id"),
+        col("sim64").as("sim_b"))
+      val xchk = fbA.join(fbB, "doc_id")
+        .select(when(gf.hamming(col("sim64"), col("sim_b"))
+            === bit_count(col("sim64").bitwiseXOR(col("sim_b"))), 0L)
+          .otherwise(1L).as("bad"))
+        .agg(sum(col("bad")).as("n_bad"))
+        .select(when(col("n_bad") === 0, 1L).otherwise(0L).as("hamming_xcheck_ok"))
       val slice = pagesCorpus(s, dir).filter(col("doc_id") < 2000)
       val fps = graft.dedup.SimHashDedup.fingerprints(slice).localCheckpoint(true)
       val emitted = graft.dedup.SimHashDedup.candidatePairs(fps,
@@ -649,12 +699,36 @@ object SparkEntry {
           when(col("n_ball") > 0, 1L).otherwise(0L).as("pairs_nonempty"),
           when(col("n_spurious") === 0, 1L).otherwise(0L).as("sound_ok"),
           when(col("n_missing") === 0, 1L).otherwise(0L).as("complete_ok"))
+        .crossJoin(xchk)
     }),
 
-    // P2: 128-bit murmur3_x64_128 content digest (no DuckDB equivalent —
-    // rows-only check; byte-compatibility asserted in the test suite).
-    "murmur128_digest" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), hex(gf.murmur128(col("text"))).as("digest"))),
+    // P2 gate: the murmur3_x64_128 kernel pinned in CORRECTNESS (promoted
+    // from a rows-only per-doc listing in r5). One oracle-checked row:
+    // published known-answer vectors evaluated through the DISTRIBUTED
+    // codegen path (spark.range input — literal frames constant-fold and
+    // would bypass codegen), plus corpus-wide injectivity (distinct digests
+    // == distinct texts). The per-row digest surface remains gf.murmur128 /
+    // TextAnalysis.fingerprints; ImplSpec keeps the full 0..15-tail KAT set.
+    "murmur128_digest" -> ((s, dir) => {
+      val corpus = docs(s, dir).agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(gf.murmur128(col("text"))).as("n_dg"),
+          count_distinct(col("text")).as("n_txt"))
+        .select(col("n_docs"),
+          when(col("n_dg") === col("n_txt"), 1L).otherwise(0L)
+            .as("digest_injective_ok"))
+      val ins = Seq("The quick brown fox jumps over the lazy dog", "", "hello")
+      val exps = Seq("6c1b07bc7bbc4be347939ac4a93c437a",
+        "00000000000000000000000000000000", "029bbd41b3a7d8cb191dae486a901e5b")
+      val kat = s.range(ins.size)
+        .select(
+          lower(hex(gf.murmur128(element_at(array(ins.map(lit): _*),
+            (col("id") + 1).cast("int"))))).as("got"),
+          element_at(array(exps.map(lit): _*), (col("id") + 1).cast("int")).as("want"))
+        .agg(sum(when(col("got") === col("want"), 0L).otherwise(1L)).as("n_bad"))
+        .select(when(col("n_bad") === 0, 1L).otherwise(0L).as("kat_ok"))
+      corpus.crossJoin(kat)
+    }),
 
     // SimHash fingerprints + Hamming distance of consecutive docs.
     "simhash_adjacent" -> ((s, dir) => {
@@ -1065,7 +1139,8 @@ object SparkEntry {
     // with at least one true pair present) — the oracle pins that outcome
     "simhash_ball_gate" ->
       ("SELECT CAST(1 AS BIGINT) AS pairs_nonempty, " +
-        "CAST(1 AS BIGINT) AS sound_ok, CAST(1 AS BIGINT) AS complete_ok"),
+        "CAST(1 AS BIGINT) AS sound_ok, CAST(1 AS BIGINT) AS complete_ok, " +
+        "CAST(1 AS BIGINT) AS hamming_xcheck_ok"),
     "mm_contract_gate" ->
       s"""SELECT count(*) AS n_assets, CAST(1 AS BIGINT) AS contract_ok
          |FROM $pagesGlob""".stripMargin,
@@ -1074,6 +1149,16 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS all_within_tolerance FROM documents""".stripMargin,
     "ann_ivf_recall" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok",
+    // hash-kernel gates: n_docs is the real corpus count; the flags pin
+    // distributed-KAT agreement + corpus injectivity (a codegen/eval drift
+    // in murmur128/fingerprint64 turns these red)
+    "murmur128_digest" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS digest_injective_ok,
+        |       CAST(1 AS BIGINT) AS kat_ok FROM documents""".stripMargin,
+    "text_fingerprints" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(1 AS BIGINT) AS fingerprint_injective_ok,
+        |       CAST(1 AS BIGINT) AS dist_matches_local FROM documents""".stripMargin,
     "ann_topk_exact" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS qid, e.vec_id AS nbr,

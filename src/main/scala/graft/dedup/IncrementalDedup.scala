@@ -107,18 +107,23 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
         .withColumnRenamed("doc_id", "ckey")
     }
 
-    // ONE unified probe index, exactly like the batch pipeline's unioned
-    // key stream (NearDupPipeline): LSH band hashes (band index already
-    // folded into each 64-bit hash) + SimHash block-combination keys share
-    // the key space, the accumulation table and the probe — one commit and
-    // one bounded probe per snapshot instead of two
-    val newKeys = store.stage("probe_index", snap) {
-      newFeatures.select(col("ckey"),
+    // ONE unified probe-key stream, exactly like the batch pipeline's
+    // unioned key stream (NearDupPipeline): LSH band hashes (band index
+    // already folded into each 64-bit hash) + SimHash block-combination
+    // keys share the key space and the bounded probe. Keys are DERIVED from
+    // the committed features table, never stored: banding a signature is a
+    // few hashes per row, while a committed key table is ~52 rows per
+    // content — deriving keeps the store's state linear in CONTENTS, drops
+    // a commit+readback round-trip per snapshot, and stays resume-safe
+    // because features (the input) is itself a committed stage and the
+    // derivation is deterministic.
+    def keysOf(features: DataFrame): DataFrame =
+      features.select(col("ckey"),
           explode(gf.bands(col("sig"), cfg.bands)).as("key"))
-        .unionByName(newFeatures.select(col("ckey"),
+        .unionByName(features.select(col("ckey"),
           explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks,
             cfg.simhashMaxHamming)).as("key")))
-    }
+    val newKeys = keysOf(newFeatures)
 
     // near-dup edges between content nodes — per-snapshot sets are disjoint
     // (a pair surfaces exactly when its newer member arrives, via either
@@ -136,7 +141,7 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
           // one join) emits the identical candidate set with fewer exchanges
           MinHashLSH.boundedBucketPairs(newE, Seq("key"), cfg.maxBucket)
         else MinHashLSH.boundedProbePairs(newE,
-          store.readRange("probe_index", 0, snap - 1)
+          keysOf(store.readRange("features", 0, snap - 1))
             .select(col("key"), col("ckey").as("e")),
           Seq("key"), cfg.maxBucket))
         .filter(col("p") =!= col("q"))
@@ -188,7 +193,7 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // chain's readRange unions ≤ compactEvery scans instead of 100
     // (SnapshotStore.compactUpTo is idempotent — resume-safe like a stage)
     if (compactEvery > 0 && (snap + 1) % compactEvery == 0)
-      Seq("registry", "features", "probe_index", "edges")
+      Seq("registry", "features", "edges")
         .foreach(t => store.compactUpTo(t, snap))
 
     assignments

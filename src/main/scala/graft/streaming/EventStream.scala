@@ -108,6 +108,15 @@ object EventStream {
     * express as one operator): events within `gapMinutes` of the previous
     * event share a session. Deterministic (sort within group), one shuffle
     * on user_id.
+    *
+    * SCALE BOUND: `flatMapGroups` hands each user's events as an iterator,
+    * but gap detection needs them time-ordered, so this form materializes
+    * ONE user's timestamps on the executor heap (`toArray.sorted`) — fine
+    * while max-events-per-user is bounded (the driver corpus peaks at a few
+    * hundred; AggAndSessionSpec pins the bound), pathological for a
+    * 10⁸-event single user. [[sessionizeSorted]] is the unbounded-user
+    * shape (secondary sort + O(1)-state streaming fold) and is what the
+    * driver query runs; the two are spec-gated identical.
     */
   def sessionize(spark: SparkSession, eventsDir: String,
                  gapMinutes: Int = 30): DataFrame = {
@@ -136,6 +145,51 @@ object EventStream {
         }
         out += ((user, start, n, last - start))
         out.iterator
+      }
+      .toDF("user_id", "session_start_us", "n_events", "duration_us")
+  }
+
+  /** Sessionization in the 100-TB shape: secondary sort (hash-repartition on
+    * user_id + sortWithinPartitions(user_id, ts)) followed by an O(1)-state
+    * streaming fold over each sorted partition — no user's events are ever
+    * materialized on a heap, so a single pathological user costs only its
+    * share of one partition's STREAM, not an array. Output is identical to
+    * [[sessionize]] (spec-gated); same single shuffle.
+    */
+  def sessionizeSorted(spark: SparkSession, eventsDir: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val events = spark.read.parquet(eventsDir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long)]
+    val gapUs = gapMinutes * 60000000L
+    events
+      .repartition(spark.sparkContext.defaultParallelism, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"))
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long)] {
+          private var user = 0L; private var start = 0L; private var last = 0L
+          private var n = 0L; private var open = false
+          private var out: (Long, Long, Long, Long) = _
+          private def advance(): Unit = {
+            while (out == null && it.hasNext) {
+              val (u, t) = it.next()
+              if (!open) { user = u; start = t; last = t; n = 1; open = true }
+              else if (u != user || t - last > gapUs) {
+                out = (user, start, n, last - start)
+                user = u; start = t; last = t; n = 1
+              } else { last = t; n += 1 }
+            }
+            if (out == null && open) {
+              out = (user, start, n, last - start); open = false
+            }
+          }
+          def hasNext: Boolean = { if (out == null) advance(); out != null }
+          def next(): (Long, Long, Long, Long) = {
+            if (out == null) advance()
+            val r = out; out = null; r
+          }
+        }
       }
       .toDF("user_id", "session_start_us", "n_events", "duration_us")
   }

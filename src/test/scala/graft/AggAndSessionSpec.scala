@@ -53,5 +53,36 @@ class AggAndSessionSpec extends AnyFunSuite with SparkTestBase {
       (1L, base, 3L, 10 * min + 123456L),
       (1L, base + 50 * min, 2L, 5 * min),
       (2L, base + 7L, 1L, 0L)))
+    // the secondary-sort streaming-fold form is output-identical
+    val sorted = graft.streaming.EventStream
+      .sessionizeSorted(spark, s"$dir/events.parquet", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sorted == got)
+  }
+
+  test("sessionizeSorted == sessionize on a randomized multi-user stream " +
+    "(users split across partitions, duplicate timestamps, empty partitions)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_rand").toString
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000000000L
+    val rows = (0 until 5000).map { _ =>
+      val u = rnd.nextInt(40).toLong // ~125 events/user: the driver-corpus
+                                     // regime the flatMapGroups heap bound
+                                     // assumes (scaladoc SCALE BOUND note)
+      (u, base + rnd.nextInt(6 * 3600) * 1000000L) // duplicates likely
+    }.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        lit(0L).as("event_id"), lit("e").as("event_type"), lit(0.0).as("value"),
+        lit("").as("props"))
+      .repartition(64) // more partitions than users: forces cross-partition
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val a = canon(graft.streaming.EventStream.sessionize(spark, s"$dir/events.parquet", 15))
+    val b = canon(graft.streaming.EventStream.sessionizeSorted(spark, s"$dir/events.parquet", 15))
+    assert(a == b)
+    assert(a.nonEmpty)
   }
 }

@@ -42,7 +42,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("exact-top-k: query side broadcasts (corpus never shuffles)") {
-    val plan = executed(SparkEntry.queries("ann_topk_exact")(spark, sfDir))
+    // gate the library operator directly — the driver query now serves a
+    // session-memoized localCheckpoint of this exact plan (SparkEntry
+    // exactTopKFrame), whose replay is a Scan ExistingRDD
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = executed(graft.sim.Ann.exactTopK(e, 0L until 20L, 5))
     val broadcasts = flatten(plan).collect {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b.toString
     }
@@ -101,6 +105,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(windows.exists(w => flatten(w).drop(1).exists(
         _.toString.contains("INSET"))),
       s"qid INSET restriction not found below the window:\n$plan")
+  }
+
+  test("query-restricted IVF ANN: the qid restriction reaches the probe scan") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.sim.Ann.ivfTopK(e, k = 5, nCells = 4, nProbe = 2,
+      queryIds = 0L until 20L)
+    val plan = executed(df)
+    // the Column-form isInCollection must survive as an INSET predicate
+    // inside the probe side's subtree (the r4 typed-lambda filter was an
+    // opaque function — no pushdown, whole-corpus probe generation)
+    val windows = flatten(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no window exec in:\n$plan")
+    assert(windows.exists(w => flatten(w).drop(1).exists(
+        _.toString.contains("INSET"))),
+      s"qid INSET restriction not found below the IVF re-rank window:\n$plan")
+    assert(!plan.toString.contains("filter(r ="),
+      "typed lambda filter resurfaced in the IVF probe path")
   }
 
   test("exact dedup election is one shuffle over narrow rows") {
