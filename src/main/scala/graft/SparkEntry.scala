@@ -274,6 +274,30 @@ object SparkEntry {
       chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step1, 1)).labels
     }),
 
+    // Reference STATS region-size histograms (tree_approach.cpp:229-256:
+    // "Num regions of size i" per label): a 128-chunk two-checkpoint chain
+    // derived from the documents table — power-of-two chunk count so every
+    // Merkle subtree is a contiguous aligned block, which is what makes the
+    // region coalescing SQL-replayable (the oracle rebuilds leaf labels,
+    // per-width block purity, and the distinct-map presence rule for shift
+    // regions from the same two strings). step1 keeps step0's first 64
+    // chars (a coalesced FIXED region) and splices fresh text after.
+    "region_size_histogram" -> ((s, dir) => {
+      val texts = docs(s, dir).orderBy("doc_id").limit(8)
+        .select("text").collect().map(_.getString(0))
+      val step0 = texts.take(4).mkString.take(128)
+      val step1 = (step0.take(64) + texts.drop(4).mkString).take(128)
+      require(step0.length == 128 && step1.length == 128,
+        "documents 0..7 too short for the 128-chunk fixture")
+      val chain = new graft.dedup.ChunkDedup.Chain(s, 128L)
+      chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step0, 1))
+      val r1 = chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step1, 1))
+      import s.implicits._
+      r1.regionSizes.toDF("label", "region_size")
+        .groupBy("label", "region_size")
+        .agg(count(lit(1)).as("n_regions"))
+    }),
+
     // Update-pattern analysis (reference update_pattern_analysis.hpp —
     // diagnostics over a checkpoint chain): per-position change frequency
     // across 4 derived checkpoints; the F1 changed-filter applied chain-wide.
@@ -856,6 +880,83 @@ object SparkEntry {
         |SELECT i + n - 2 AS node,
         |       CASE WHEN i = w THEN 'FIRST_OCUR' ELSE 'SHIFT_DUPL' END AS label
         |FROM fresh""".stripMargin,
+    // Region-size histogram replay (reference STATS): rebuild ckpt-1 leaf
+    // labels from the two derived 128-char strings, then coalesce — a block
+    // (aligned width-2^l span) is a FIRST/FIXED region root iff label-pure
+    // and its parent block is not; SHIFT additionally requires the block's
+    // string to be PRESENT in the distinct map, whose internal entries are
+    // exactly the first-forest blocks of ckpt 0 and ckpt 1 (equal digests ⇔
+    // equal aligned strings at a power-of-two chunk count).
+    "region_size_histogram" ->
+      """WITH t AS (
+        |  SELECT any_value(CASE WHEN doc_id = 0 THEN text END) AS t0,
+        |         any_value(CASE WHEN doc_id = 1 THEN text END) AS t1,
+        |         any_value(CASE WHEN doc_id = 2 THEN text END) AS t2,
+        |         any_value(CASE WHEN doc_id = 3 THEN text END) AS t3,
+        |         any_value(CASE WHEN doc_id = 4 THEN text END) AS t4,
+        |         any_value(CASE WHEN doc_id = 5 THEN text END) AS t5,
+        |         any_value(CASE WHEN doc_id = 6 THEN text END) AS t6,
+        |         any_value(CASE WHEN doc_id = 7 THEN text END) AS t7
+        |  FROM documents WHERE doc_id IN (0,1,2,3,4,5,6,7)),
+        |steps AS (
+        |  SELECT substr(t0||t1||t2||t3, 1, 128) AS s0,
+        |         substr(substr(t0||t1||t2||t3, 1, 64) || t4||t5||t6||t7, 1, 128) AS s1
+        |  FROM t),
+        |c AS (SELECT i, substr(s0, CAST(i AS INT), 1) AS ch0,
+        |             substr(s1, CAST(i AS INT), 1) AS ch1
+        |      FROM steps, generate_series(1, 128) AS g(i)),
+        |lab0 AS (SELECT i, CASE WHEN i = min(i) OVER (PARTITION BY ch0)
+        |                        THEN 'F' ELSE 'S' END AS l0 FROM c),
+        |lb AS (SELECT i, ch1, CASE WHEN ch1 = ch0 THEN 'FIXED_DUPL'
+        |            WHEN ch1 IN (SELECT DISTINCT ch0 FROM c) THEN 'SHIFT_DUPL'
+        |            ELSE NULL END AS base FROM c),
+        |fresh AS (SELECT i, min(i) OVER (PARTITION BY ch1) AS w
+        |          FROM lb WHERE base IS NULL),
+        |lab1 AS (SELECT i, base AS lbl FROM lb WHERE base IS NOT NULL
+        |         UNION ALL
+        |         SELECT i, CASE WHEN i = w THEN 'FIRST_OCUR'
+        |                        ELSE 'SHIFT_DUPL' END FROM fresh),
+        |blocks AS (SELECT CAST(power(2, lv) AS INT) AS wd, k,
+        |                  1 + k * CAST(power(2, lv) AS INT) AS st
+        |           FROM generate_series(0, 7) AS gl(lv),
+        |                generate_series(0, 127) AS gk(k)
+        |           WHERE k * CAST(power(2, lv) AS INT) < 128),
+        |bp AS (SELECT b.wd, b.k, b.st,
+        |         bool_and(l.lbl = 'FIXED_DUPL') AS all_fixed,
+        |         bool_and(l.lbl = 'FIRST_OCUR') AS all_first,
+        |         bool_and(l.lbl = 'SHIFT_DUPL') AS all_shift
+        |       FROM blocks b JOIN lab1 l ON l.i >= b.st AND l.i < b.st + b.wd
+        |       GROUP BY b.wd, b.k, b.st),
+        |bp0 AS (SELECT b.wd, b.k, b.st, bool_and(l.l0 = 'F') AS all_first0
+        |        FROM blocks b JOIN lab0 l ON l.i >= b.st AND l.i < b.st + b.wd
+        |        GROUP BY b.wd, b.k, b.st),
+        |ins AS (SELECT p.wd, substr(s.s0, CAST(p.st AS INT), CAST(p.wd AS INT)) AS sub
+        |        FROM bp0 p, steps s WHERE p.all_first0 AND p.wd >= 2
+        |        UNION
+        |        SELECT p.wd, substr(s.s1, CAST(p.st AS INT), CAST(p.wd AS INT)) AS sub
+        |        FROM bp p, steps s WHERE p.all_first AND p.wd >= 2),
+        |shp AS (SELECT p.wd, p.k,
+        |          (p.all_shift AND (p.wd = 1 OR EXISTS (
+        |             SELECT 1 FROM ins x, steps s
+        |             WHERE x.wd = p.wd
+        |               AND x.sub = substr(s.s1, CAST(p.st AS INT), CAST(p.wd AS INT)))))
+        |          AS pres
+        |        FROM bp p),
+        |roots AS (
+        |  SELECT 'FIRST_OCUR' AS label, p.wd AS region_size FROM bp p
+        |  WHERE p.all_first AND (p.wd = 128 OR NOT (
+        |    SELECT q.all_first FROM bp q WHERE q.wd = p.wd*2 AND q.k = p.k // 2))
+        |  UNION ALL
+        |  SELECT 'FIXED_DUPL', p.wd FROM bp p
+        |  WHERE p.all_fixed AND (p.wd = 128 OR NOT (
+        |    SELECT q.all_fixed FROM bp q WHERE q.wd = p.wd*2 AND q.k = p.k // 2))
+        |  UNION ALL
+        |  SELECT 'SHIFT_DUPL', p.wd FROM shp p
+        |  WHERE p.pres AND (p.wd = 128 OR NOT (
+        |    SELECT q.pres FROM shp q WHERE q.wd = p.wd*2 AND q.k = p.k // 2)))
+        |SELECT label, CAST(region_size AS BIGINT) AS region_size,
+        |       count(*) AS n_regions
+        |FROM roots GROUP BY label, region_size""".stripMargin,
     "chunk_update_pattern" ->
       """WITH t AS (
         |  SELECT any_value(CASE WHEN doc_id = 0 THEN text END) AS t0,

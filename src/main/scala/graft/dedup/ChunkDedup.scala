@@ -46,7 +46,13 @@ object ChunkDedup {
       numFirstOcur: Long,     // count of first-occurrence region roots
       numShiftDupl: Long,     // count of shifted-duplicate region roots
       firstLeaves: DataFrame, // (pos, chunk) bytes stored in the incremental chkpt
-      shiftLeafMap: DataFrame // (pos, src_chkpt, src_pos) duplicate metadata
+      shiftLeafMap: DataFrame, // (pos, src_chkpt, src_pos) duplicate metadata
+      regionSizes: Seq[(String, Long)] = Nil // one (label, leaves-under-root)
+                              // entry per region root — the reference's
+                              // STATS histograms (tree_approach.cpp:229-256);
+                              // filled on the serial and local-sweep paths,
+                              // empty on the thin distributed sweep (whose
+                              // region info is the regionsDf it commits)
   ) {
     /** Distinct prior checkpoints this incremental references — the
       * reference's `chkpts_needed` bitset (F4, list_approach.cpp:98-110)
@@ -250,32 +256,51 @@ object ChunkDedup {
       (forest(FIRST), forest(FIXED), forest(SHIFT))
     }
 
-    /** Region-root counts per label. A node is a region root iff it is not
-      * absorbed by a coalescing parent (FIRST/FIXED: parent in the forest;
-      * SHIFT: parent's digest present in the distinct map).
+    /** One entry per region ROOT: (label, region size in leaves). A node is
+      * a region root iff it is not absorbed by a coalescing parent
+      * (FIRST/FIXED: parent in the forest; SHIFT: parent's digest present in
+      * the distinct map). Region size = leaves under the root — the
+      * reference's STATS region-size histograms
+      * (tree_approach.cpp:229-256 `first/shift_region_sizes`).
+      */
+    def regionRootSizes(leaves: Array[(Long, Array[Byte], String)],
+                        firstInt: Vector[(Long, Array[Byte])],
+                        fixedInt: Vector[(Long, Array[Byte])],
+                        shiftCand: Vector[(Long, Array[Byte])],
+                        presentShift: Set[Long],
+                        nLeaves: Long): Vector[(String, Long)] = {
+      @inline def parent(n: Long): Long = (n - 1) / 2
+      val firstSet = firstInt.map(_._1).toSet
+      val fixedSet = fixedInt.map(_._1).toSet
+      def roots(leafLabel: String, internals: Vector[(Long, Array[Byte])],
+                inForest: Long => Boolean): Vector[(String, Long)] = {
+        val leafRoots = leaves.iterator.collect {
+          case (n, _, l) if l == leafLabel && (n == 0 || !inForest(parent(n))) =>
+            (leafLabel, 1L)
+        }.toVector
+        val intRoots = internals.collect {
+          case (n, _) if inForest(n) && (n == 0 || !inForest(parent(n))) =>
+            (leafLabel, subtreeLeafPositions(n, nLeaves).length.toLong)
+        }
+        leafRoots ++ intRoots
+      }
+      roots(FIRST, firstInt, firstSet.contains) ++
+        roots(FIXED, fixedInt, fixedSet.contains) ++
+        roots(SHIFT, shiftCand, presentShift.contains)
+    }
+
+    /** Region-root counts per label (derived from [[regionRootSizes]] — one
+      * source of truth for what a region root is).
       */
     def regionCounts(leaves: Array[(Long, Array[Byte], String)],
                      firstInt: Vector[(Long, Array[Byte])],
                      fixedInt: Vector[(Long, Array[Byte])],
                      shiftCand: Vector[(Long, Array[Byte])],
                      presentShift: Set[Long]): Map[String, Long] = {
-      @inline def parent(n: Long): Long = (n - 1) / 2
-      val firstSet = firstInt.map(_._1).toSet
-      val fixedSet = fixedInt.map(_._1).toSet
-      def roots(leafLabel: String, internals: Vector[(Long, Array[Byte])],
-                inForest: Long => Boolean): Long = {
-        val leafRoots = leaves.count { case (n, _, l) =>
-          l == leafLabel && (n == 0 || !inForest(parent(n)))
-        }
-        val intRoots = internals.count { case (n, _) =>
-          inForest(n) && (n == 0 || !inForest(parent(n)))
-        }
-        leafRoots.toLong + intRoots
-      }
-      Map(
-        FIRST -> roots(FIRST, firstInt, firstSet.contains),
-        FIXED -> roots(FIXED, fixedInt, fixedSet.contains),
-        SHIFT -> roots(SHIFT, shiftCand, presentShift.contains))
+      val nLeaves = leaves.length.toLong
+      regionRootSizes(leaves, firstInt, fixedInt, shiftCand, presentShift,
+        nLeaves)
+        .groupBy(_._1).map { case (l, v) => l -> v.size.toLong }
     }
   }
 
@@ -398,7 +423,9 @@ object ChunkDedup {
 
       val res = ChkptResult(cid, labelDf,
         counts.getOrElse(FIRST, 0L), counts.getOrElse(SHIFT, 0L),
-        firstDf, shiftDf)
+        firstDf, shiftDf,
+        Chain.regionRootSizes(leafEntries, firstInt, fixedInt, shiftCand,
+          presentShift, numChunks))
       results += res
       sRecon += chunkStrs
       sPrev = digests
@@ -565,7 +592,7 @@ object ChunkDedup {
       // shiftRegions: Some(region table) when it will be committed or when
       // the distributed sweep produced it anyway; None on the storeless
       // local fast path (golden harnesses skip the extra collect)
-      val (counts, shiftRegions) =
+      val (counts, shiftRegions, regionSizes) =
         if (nLeaves <= localSweepMax) {
           // ---- fast path: in-memory sweeps, batched map probes -------------
           // The forests are a per-checkpoint tree computation; only the
@@ -615,7 +642,9 @@ object ChunkDedup {
               regionRows.toSeq.toDF("node", "src_chkpt", "src_node")
             }
           (Chain.regionCounts(leafEntries, firstInt, fixedInt, shiftCand, presentShift),
-            regionsDf)
+            regionsDf,
+            Chain.regionRootSizes(leafEntries, firstInt, fixedInt, shiftCand,
+              presentShift, numChunks))
         } else {
           // ---- distributed path: per-level THIN sweeps ----------------------
           // log₂(n) shuffles of geometrically shrinking live frontiers; total
@@ -626,7 +655,8 @@ object ChunkDedup {
               col("node").as("src_node"))))
           val fx = thinSweep(FIXED, identity, _ => ())
           val regionsDf = thinSweepShift()
-          (Map(FIRST -> fo, FIXED -> fx, SHIFT -> regionsDf.count()), Some(regionsDf))
+          (Map(FIRST -> fo, FIXED -> fx, SHIFT -> regionsDf.count()),
+            Some(regionsDf), Nil)
         }
 
       // ---- outputs ----------------------------------------------------------
@@ -643,7 +673,8 @@ object ChunkDedup {
         numFirstOcur = counts.getOrElse(FIRST, 0L),
         numShiftDupl = counts.getOrElse(SHIFT, 0L),
         firstLeaves = storedFirst,
-        shiftLeafMap = shiftLeafMap)
+        shiftLeafMap = shiftLeafMap,
+        regionSizes = regionSizes)
       results += res
 
       // durable incremental checkpoint: the two file sections restart needs.
