@@ -37,7 +37,7 @@ object IncProbe {
       inc.processSnapshot(snap, df).count()
       val total = (System.nanoTime() - t0) / 1e9
       println(f"[probe] snapshot $snap total $total%.2f s")
-      for (t <- Seq("pages_keyed", "changed", "registry", "features",
+      for (t <- Seq("pages_keyed", "registry", "features",
         "edges", "content_clusters", "assignments", "metrics")
            if store.isCommitted(t, snap)) {
         val j = store.manifestJson(t, snap)

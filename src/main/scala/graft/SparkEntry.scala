@@ -92,6 +92,15 @@ object SparkEntry {
       graft.sim.Ann.exactTopK(emb(s, dir), 0L until 20L, 5)
     }
 
+  /** Full-corpus SimHash fingerprints (doc_id, sim64 — 16 B a row), shared
+    * by `pages_simhash_pairs` and `simhash_ball_gate`'s corpus-wide hamming
+    * cross-check: one tokenization pass per session instead of two.
+    */
+  private def simhashFpsFrame(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "simhash_fps") {
+      graft.dedup.SimHashDedup.fingerprints(pagesCorpus(s, dir))
+    }
+
   /** Multimodal decode-features frame shared by `mm_decode_features` and
     * `mm_contract_gate` (identical plan, built once per session).
     */
@@ -182,9 +191,10 @@ object SparkEntry {
       graft.dedup.ExactDedup.assignments(pagesCorpus(s, dir))
         .select("doc_id", "rep")),
 
-    // SimHash Hamming-ball candidate pairs
+    // SimHash Hamming-ball candidate pairs (fingerprints via the session
+    // memo — shared with simhash_ball_gate's corpus-wide cross-check)
     "pages_simhash_pairs" -> ((s, dir) =>
-      graft.dedup.SimHashDedup.hammingPairs(pagesCorpus(s, dir),
+      graft.dedup.SimHashDedup.candidatePairs(simhashFpsFrame(s, dir),
         graft.dedup.DedupConfig())),
 
     // exact long-repeat pass, winnowing candidates (detects all repeats
@@ -695,7 +705,7 @@ object SparkEntry {
     // expression) must agree with Spark's independent bit_count(a ^ b) on
     // every adjacent fingerprint pair of the FULL corpus.
     "simhash_ball_gate" -> ((s, dir) => {
-      val fullFps = graft.dedup.SimHashDedup.fingerprints(pagesCorpus(s, dir))
+      val fullFps = simhashFpsFrame(s, dir)
       val fbA = fullFps.select(col("doc_id"), col("sim64"))
       val fbB = fullFps.select((col("doc_id") - 1).as("doc_id"),
         col("sim64").as("sim_b"))
@@ -705,8 +715,9 @@ object SparkEntry {
           .otherwise(1L).as("bad"))
         .agg(sum(col("bad")).as("n_bad"))
         .select(when(col("n_bad") === 0, 1L).otherwise(0L).as("hamming_xcheck_ok"))
-      val slice = pagesCorpus(s, dir).filter(col("doc_id") < 2000)
-      val fps = graft.dedup.SimHashDedup.fingerprints(slice).localCheckpoint(true)
+      // slice fingerprints come from the same memoized frame (a filter over
+      // the materialized checkpoint — the kernel never re-runs)
+      val fps = fullFps.filter(col("doc_id") < 2000)
       val emitted = graft.dedup.SimHashDedup.candidatePairs(fps,
         cfg.copy(maxBucket = 1 << 20))
       val fa = fps.select(col("doc_id").as("a"), col("sim64").as("sim_a"))

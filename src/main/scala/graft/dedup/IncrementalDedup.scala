@@ -58,11 +58,13 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     }
 
     // F1/F2 fixed fast path: only urls with new/changed content continue.
-    // Snapshot 0 has no previous state — changed IS keyed (already durable),
-    // so no separate commit round-trip.
+    // DERIVED, never committed: both inputs (this and the previous
+    // snapshot's pages_keyed) are committed stages, so the anti-join is
+    // deterministic on resume — and at scale `changed` is the per-snapshot
+    // WORK SET, the one table worth NOT writing a second copy of.
     val changed =
       if (snap == 0) keyed.select("url", "doc_id", "ckey")
-      else store.stage("changed", snap) {
+      else {
         val prev = store.read("pages_keyed", snap - 1)
           .select(col("url"), col("ckey").as("prev_ckey"))
         keyed.select("url", "doc_id", "ckey")
@@ -176,11 +178,14 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
 
     store.stage("metrics", snap, Map("stage" -> "snapshot_summary")) {
       import spark.implicits._
-      // row counts come from the committed stage manifests — zero extra jobs
+      // row counts come from the committed stage manifests — zero extra
+      // jobs, except n_changed (A3): `changed` is derived, not committed,
+      // so its count is one narrow anti-join pass, paid only when this
+      // metrics stage actually computes (never on resume)
       val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
       Seq((snap, store.committedRows("pages_keyed", snap),
         if (snap == 0) store.committedRows("pages_keyed", 0) // changed ≡ keyed
-        else store.committedRows("changed", snap),
+        else changed.count(),
         store.committedRows("features", snap), nEdges,
         store.committedRows("assignments", snap),
         (System.nanoTime() - t0) / 1000000))
