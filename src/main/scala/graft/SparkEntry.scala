@@ -92,6 +92,42 @@ object SparkEntry {
       graft.sim.Ann.exactTopK(emb(s, dir), 0L until 20L, 5)
     }
 
+  /** Unrestricted ANN top-k frames at the PINNED validated configs, built
+    * once per (session, sf) and shared: `ann_topk_lsh`/`ann_topk_ivf` serve
+    * them directly, and the recall gates FILTER them to the 20 probe ids —
+    * sound because the per-qid result is independent of which other queries
+    * ran (lshTopK/ivfTopK's queryIds restriction is exact, and one shared
+    * IVF build also removes the float-jitter rerun risk). The r4 session
+    * ran the LSH bucketing and the whole k-means IVF build twice each.
+    */
+  private def lshTopKFrame(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "ann_lsh_topk") {
+      val c = graft.sim.Ann.PinnedLsh
+      graft.sim.Ann.lshTopK(emb(s, dir), k = 5, bits = c.bits,
+        tables = c.tables, seed = c.seed)
+    }
+  private def ivfTopKFrame(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "ann_ivf_topk") {
+      val c = graft.sim.Ann.PinnedIvf
+      graft.sim.Ann.ivfTopK(emb(s, dir), k = 5, nCells = c.nCells,
+        nProbe = c.nProbe)
+    }
+
+  /** Full-corpus winnowing fingerprints (h, doc_id, pos) at the pinned
+    * (gram=24, window=12) — ONE corpus pass shared by `pages_long_repeats`,
+    * `pages_decontaminate` and `sa_winnow_consistency_gate`'s slice
+    * (per-doc fingerprints are independent, so the gate filters exactly).
+    * ~150 MB materialized at sf0.1 — the largest session frame, still
+    * <0.5% of the heap; the alternative is three full tokenize+winnow
+    * corpus scans per session.
+    */
+  private def winnowFpsFrame(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "winnow_fps") {
+      graft.dedup.LongRepeats.winnowFingerprints(
+        pagesCorpus(s, dir).select(col("doc_id"), lower(col("text")).as("t")),
+        gram = 24, window = 12)
+    }
+
   /** Full-corpus SimHash fingerprints (doc_id, sim64 — 16 B a row), shared
     * by `pages_simhash_pairs` and `simhash_ball_gate`'s corpus-wide hamming
     * cross-check: one tokenization pass per session instead of two.
@@ -200,7 +236,8 @@ object SparkEntry {
     // exact long-repeat pass, winnowing candidates (detects all repeats
     // >= gram+window-1 corpus-wide)
     "pages_long_repeats" -> ((s, dir) =>
-      graft.dedup.LongRepeats.repeats(pagesCorpus(s, dir))),
+      graft.dedup.LongRepeats.repeats(pagesCorpus(s, dir),
+        precomputedFps = Some(winnowFpsFrame(s, dir)))),
 
     // suffix-array pass scoped to host groups (doc_id / GROUP): the output
     // is exactly the maximal same-group repeats ≥ 60 — a deterministic
@@ -224,7 +261,8 @@ object SparkEntry {
       // scale (2000 docs); keeps the double repeat-pass affordable at bench
       // scale — the gate's value is cross-validation, not throughput
       val corpus = pagesCorpus(s, dir).filter(col("doc_id") < 4000)
-      val lr = graft.dedup.LongRepeats.repeats(corpus, maxBucket = 1024)
+      val lr = graft.dedup.LongRepeats.repeats(corpus, maxBucket = 1024,
+        precomputedFps = Some(winnowFpsFrame(s, dir).filter(col("doc_id") < 4000)))
       val sa = graft.dedup.LongRepeats.repeatsWithinPartitions(
         corpus.repartition(s.sparkContext.defaultParallelism,
           (col("doc_id") / graft.pages.PagesGen.GROUP).cast("long")),
@@ -595,20 +633,12 @@ object SparkEntry {
     // Similarity search, scale path: SRP-LSH bucketed ANN — rows-only; the
     // config is the SAME pinned one the ann_lsh_recall gate validates
     // (Ann.PinnedLsh), so the benched path is the recall-proven one.
-    "ann_topk_lsh" -> ((s, dir) => {
-      val c = graft.sim.Ann.PinnedLsh
-      graft.sim.Ann.lshTopK(emb(s, dir), k = 5, bits = c.bits,
-        tables = c.tables, seed = c.seed)
-    }),
+    "ann_topk_lsh" -> ((s, dir) => lshTopKFrame(s, dir)),
 
     // Similarity search, IVF scale path: k-means coarse quantizer + cell
     // probes — rows-only; config shared with the ann_ivf_recall gate
     // (Ann.PinnedIvf).
-    "ann_topk_ivf" -> ((s, dir) => {
-      val c = graft.sim.Ann.PinnedIvf
-      graft.sim.Ann.ivfTopK(emb(s, dir), k = 5, nCells = c.nCells,
-        nProbe = c.nProbe)
-    }),
+    "ann_topk_ivf" -> ((s, dir) => ivfTopKFrame(s, dir)),
 
     // Multimodal: binary assets + stubbed batched decode — rows-only.
     // html bytes are a pure function of text (PagesGen.genRow), so the
@@ -619,18 +649,16 @@ object SparkEntry {
     // ANN recall gates: overlap of each scale path's top-k with the exact
     // top-k for the 20 probe queries, emitted as a one-row pass/fail the
     // DuckDB oracle asserts — the probabilistic paths get a hard
-    // CORRECTNESS row instead of rows-only. Configs come from the SAME
-    // pinned source the topk queries use (Ann.PinnedLsh / Ann.PinnedIvf —
-    // AnnRecallProbe measurements are documented there); the threshold
+    // CORRECTNESS row instead of rows-only. The gates FILTER the session's
+    // memoized unrestricted top-k frames (lshTopKFrame/ivfTopKFrame) to the
+    // 20 probe ids — per-qid results are query-set-independent, so this is
+    // the identical contract with zero re-built indexes; the threshold
     // (annRecallMinHits of 100 top-k rows) leaves margin for borderline
     // rank flips (float ties, IVF mean jitter), not for real recall
     // regressions.
     "ann_lsh_recall" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val c = graft.sim.Ann.PinnedLsh
       val exact = exactTopKFrame(s, dir).select(col("qid"), col("nbr"))
-      val approx = graft.sim.Ann.lshTopK(e, k = 5, bits = c.bits,
-          tables = c.tables, seed = c.seed, queryIds = 0L until 20L)
+      val approx = lshTopKFrame(s, dir).filter(col("qid") < 20)
         .select(col("qid"), col("nbr"))
       exact.join(approx, Seq("qid", "nbr"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -638,11 +666,8 @@ object SparkEntry {
           when(col("hits") >= annRecallMinHits, 1L).otherwise(0L).as("recall_ok"))
     }),
     "ann_ivf_recall" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val c = graft.sim.Ann.PinnedIvf
       val exact = exactTopKFrame(s, dir).select(col("qid"), col("nbr"))
-      val approx = graft.sim.Ann.ivfTopK(e, k = 5, nCells = c.nCells,
-          nProbe = c.nProbe, queryIds = 0L until 20L)
+      val approx = ivfTopKFrame(s, dir).filter(col("qid") < 20)
         .select(col("qid"), col("nbr"))
       exact.join(approx, Seq("qid", "nbr"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -683,7 +708,8 @@ object SparkEntry {
         .filter(col("doc_id") % 200 === 0 && length(col("text")) >= 160)
         .select(col("doc_id").as("probe_id"),
           lower(substring(col("text"), 101, 60)).as("probe"))
-      graft.text.Decontaminate.matches(corpus, probes)
+      graft.text.Decontaminate.matches(corpus, probes,
+        precomputedDocFps = Some(winnowFpsFrame(s, dir)))
     }),
 
     // SimHash Hamming-ball gate: on a deterministic corpus slice, the

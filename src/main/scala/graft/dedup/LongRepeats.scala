@@ -35,22 +35,34 @@ object LongRepeats {
   private def norm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
 
+  /** Per-doc winnowing fingerprints (h, doc_id, pos) over a (doc_id, t)
+    * frame — the ONE corpus pass the repeat detector, the decontamination
+    * probe and any gate slice all consume (per-doc fingerprints are
+    * independent, so a shared materialized frame filters exactly).
+    */
+  def winnowFingerprints(normDocs: DataFrame, gram: Int, window: Int): DataFrame =
+    normDocs
+      .select(col("doc_id"), explode(gf.winnow(col("t"), gram, window)).as("f"))
+      .select(col("f.hash").as("h"), col("doc_id"), col("f.pos").as("pos"))
+
   /** Winnowing candidates: (a, pa, b, pb). Hot fingerprints (ubiquitous
     * boilerplate grams) emit star pairs beyond `maxBucket` — linear, not
     * quadratic, in bucket size.
     */
   def winnowCandidates(normDocs: DataFrame, gram: Int, window: Int,
-                       maxBucket: Int): DataFrame = {
-    val fps = normDocs
-      .select(col("doc_id"), explode(gf.winnow(col("t"), gram, window)).as("f"))
-      .select(col("f.hash").as("h"),
-        struct(col("doc_id"), col("f.pos").as("pos")).as("e"))
-      // bounded kernel: hot fingerprints (ubiquitous boilerplate grams) emit
-      // star pairs from a streaming pass — linear, and never a per-key buffer
-    MinHashLSH.boundedBucketPairs(fps, Seq("h"), maxBucket)
+                       maxBucket: Int): DataFrame =
+    winnowCandidatesFromFps(winnowFingerprints(normDocs, gram, window), maxBucket)
+
+  /** Candidates from a (possibly shared/materialized) fingerprint frame. */
+  def winnowCandidatesFromFps(fps: DataFrame, maxBucket: Int): DataFrame =
+    // bounded kernel: hot fingerprints (ubiquitous boilerplate grams) emit
+    // star pairs from a streaming pass — linear, and never a per-key buffer
+    MinHashLSH.boundedBucketPairs(
+        fps.select(col("h"),
+          struct(col("doc_id"), col("pos").as("pos")).as("e")),
+        Seq("h"), maxBucket)
       .select(col("p.doc_id").as("a"), col("p.pos").as("pa"),
         col("q.doc_id").as("b"), col("q.pos").as("pb"))
-  }
 
   /** How many suffixes of one lcp-run pair up exhaustively; larger runs fall
     * back to star pairs against the run head (the maxBucket analogue — a
@@ -268,16 +280,23 @@ object LongRepeats {
     */
   def repeats(docs: DataFrame, gram: Int = 24, window: Int = 12,
               maxBucket: Int = 32, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text",
+              /** optional pre-materialized winnowFingerprints(norm docs,
+                * gram, window) — MUST come from the same (gram, window) and
+                * the lowercased text of the same docs (a session cache
+                * shares the one corpus pass across repeat/decontaminate
+                * consumers). */
+              precomputedFps: Option[DataFrame] = None): DataFrame = {
     val n = norm(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minLen = gram + window - 1
+    val cand = winnowCandidatesFromFps(
+      precomputedFps.getOrElse(winnowFingerprints(n, gram, window)), maxBucket)
     // eager output + unpersist: the span set is tiny; the persisted corpus
     // copy must NOT outlive the call (a many-query session would otherwise
     // accumulate one pinned corpus per repeat pass and degrade under memory
     // pressure — the round-3 driver-bench outlier)
-    try verifyAndExtend(n, winnowCandidates(n, gram, window, maxBucket),
-      gram, minLen).localCheckpoint(true)
+    try verifyAndExtend(n, cand, gram, minLen).localCheckpoint(true)
     finally n.unpersist()
   }
 

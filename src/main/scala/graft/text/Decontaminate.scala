@@ -36,7 +36,12 @@ object Decontaminate {
               gram: Int = 24, window: Int = 12,
               idCol: String = "doc_id", textCol: String = "text",
               probeIdCol: String = "probe_id",
-              probeCol: String = "probe"): DataFrame = {
+              probeCol: String = "probe",
+              /** optional pre-materialized corpus fingerprints — MUST be
+                * LongRepeats.winnowFingerprints over lower(textCol) of the
+                * same docs at the same (gram, window); a session cache can
+                * then share the one corpus pass with the repeat detector. */
+              precomputedDocFps: Option[DataFrame] = None): DataFrame = {
     val nd = docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("nt"))
     val np = probes.select(col(probeIdCol).as("probe_id"), col(probeCol).as("p"))
     // ENFORCE the exactness precondition instead of documenting it: a probe
@@ -52,7 +57,7 @@ object Decontaminate {
     def fps(df: DataFrame, id: String, text: Column): DataFrame =
       df.select(col(id), explode(gf.winnow(text, gram, window)).as("f"))
         .select(col("f.hash").as("h"), col(id), col("f.pos").as("pos"))
-    val docFps = fps(nd, "doc_id", col("nt"))
+    val docFps = precomputedDocFps.getOrElse(fps(nd, "doc_id", col("nt")))
     val probeFps = fps(np, "probe_id", col("p"))
       .withColumnRenamed("pos", "ppos")
     val cand = docFps.join(broadcast(probeFps), "h")

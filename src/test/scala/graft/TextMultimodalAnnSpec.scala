@@ -101,6 +101,25 @@ class TextMultimodalAnnSpec extends AnyFunSuite with SparkTestBase {
       ivf.get(i.toLong).exists(_.contains(100L + i))
     }
     assert(ivfHits >= 90, s"IVF recall ${ivfHits}/100")
+
+    // queryIds restriction == unrestricted-then-filtered, row for row: the
+    // contract that lets the driver's recall gates FILTER the session's
+    // memoized unrestricted top-k frames instead of re-building the
+    // LSH buckets / IVF index (SparkEntry lshTopKFrame/ivfTopKFrame)
+    def topkRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nbr", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qids = 0L until 15L
+    val lshRestricted = Ann.lshTopK(emb, k = 5, bits = 10, tables = 6,
+      seed = 7L, queryIds = qids)
+    val lshFiltered = Ann.lshTopK(emb, k = 5, bits = 10, tables = 6, seed = 7L)
+      .filter(org.apache.spark.sql.functions.col("qid") < 15)
+    assert(topkRows(lshRestricted) == topkRows(lshFiltered))
+    val ivfRestricted = Ann.ivfTopK(emb, k = 5, nCells = 16, nProbe = 4,
+      queryIds = qids)
+    val ivfFiltered = Ann.ivfTopK(emb, k = 5, nCells = 16, nProbe = 4)
+      .filter(org.apache.spark.sql.functions.col("qid") < 15)
+    assert(topkRows(ivfRestricted) == topkRows(ivfFiltered))
   }
 
   test("ANN: SRP threshold-pair join (the benched emb_cosine_pairs scale path) — exact precision, high recall on planted twins") {
