@@ -54,12 +54,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       try listing.iterator().asScala.filter(_.toString.endsWith(".parquet"))
         .toArray.sortBy(_.toString)
       finally listing.close()
-    val parts = files.map { p =>
+    // footer reads are independent per file — read them in parallel (a
+    // 60-file commit costs one footer's latency, not sixty sequential ones;
+    // order is restored by the files sort above)
+    val parts = java.util.Arrays.stream(files).parallel().map { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toString), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try (p.getFileName.toString, r.getRecordCount) finally r.close()
-    }
+    }.toArray(n => new Array[(String, Long)](n))
     val rows = parts.map(_._2).sum
     val lineage = parts.map { case (f, n) => s"""{"file": ${q(f)}, "rows": $n}""" }
     val ms = (System.nanoTime() - t0) / 1000000

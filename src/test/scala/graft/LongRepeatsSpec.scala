@@ -54,6 +54,18 @@ class LongRepeatsSpec extends AnyFunSuite with SparkTestBase {
     val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.size == 190, s"got ${pairs.size} pairs")
     got.foreach(r => assert(r.getInt(4) >= planted.trim.length))
+
+    // a shared pre-materialized fingerprint frame (the session-cache path
+    // the driver queries run) yields the identical span set
+    import org.apache.spark.sql.functions.{col, lower}
+    val fps = LongRepeats.winnowFingerprints(
+      docs.select(col("doc_id"), lower(col("text")).as("t")), gram, window)
+      .localCheckpoint(true)
+    val viaFps = LongRepeats.repeats(docs, gram, window, maxBucket = 64,
+      precomputedFps = Some(fps)).collect()
+    def spanSet(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    assert(spanSet(viaFps) == spanSet(got))
   }
 
   test("suffix-array pass matches winnowing on co-partitioned docs and catches shorter repeats") {
@@ -197,6 +209,16 @@ class LongRepeatsSpec extends AnyFunSuite with SparkTestBase {
     val g2 = graft.text.Decontaminate.matches(twice, probes).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(g2 == Map((7L, 10L) -> 0), s"got $g2")
+    // a shared pre-materialized corpus fingerprint frame (the session-cache
+    // path the driver query runs) yields identical matches
+    import org.apache.spark.sql.functions.{col, lower}
+    val fps = LongRepeats.winnowFingerprints(
+      docs.select(col("doc_id"), lower(col("text")).as("t")), 24, 12)
+      .localCheckpoint(true)
+    val viaFps = graft.text.Decontaminate.matches(docs, probes,
+        precomputedDocFps = Some(fps))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(viaFps == expected, s"got $viaFps")
   }
 
   test("in-doc repeats are reported once with distinct positions") {
