@@ -99,6 +99,19 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
         assert(shiftMap(r.shiftLeafMap) == shiftMap(base.shiftLeafMap),
           s"case $id $name shift sources")
       }
+      // region-size histograms (r5, reference STATS): serial and local-sweep
+      // agree exactly; their per-label totals equal the region counts
+      def hist(r: ChunkDedup.ChkptResult) =
+        r.regionSizes.groupBy(identity).view.mapValues(_.size).toMap
+      val serialR = rs(0)._2; val localR = rs(1)._2
+      assert(hist(localR) == hist(serialR), s"case $id region-size histograms")
+      for ((r, name) <- Seq((serialR, "serial"), (localR, "localsweep"))) {
+        val byLabel = r.regionSizes.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        assert(byLabel.getOrElse(ChunkDedup.FIRST, 0L) == r.numFirstOcur,
+          s"case $id $name FIRST root count vs histogram")
+        assert(byLabel.getOrElse(ChunkDedup.SHIFT, 0L) == r.numShiftDupl,
+          s"case $id $name SHIFT root count vs histogram")
+      }
     }
   }
 

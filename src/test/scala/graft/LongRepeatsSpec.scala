@@ -221,6 +221,16 @@ class LongRepeatsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaFps == expected, s"got $viaFps")
   }
 
+  test("decontamination: probes below gram+window-1 are rejected loudly, not silently missed") {
+    import spark.implicits._
+    val docs = mkDocs(0L -> filler1)
+    val shortProbe = Seq((1L, "way too short")).toDF("probe_id", "probe")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Decontaminate.matches(docs, shortProbe)
+    }
+    assert(e.getMessage.contains("gram+window-1"))
+  }
+
   test("in-doc repeats are reported once with distinct positions") {
     val block = "repeated internal template block number " + ("x7 " * 10)
     val docs = mkDocs(5L -> (filler1 + block + filler2 + block + " tail"))
