@@ -34,6 +34,15 @@ import graft.state.SnapshotStore
   * the same store resumes after the last committed stage (north_rule
   * resumability; per-partition lineage lands in each stage manifest).
   */
+object IncrementalDedup {
+  /** Accumulated-content threshold for the driver-local candidate kernel:
+    * 64k contents × 52 probe keys ≈ 3.4M (Long, Long) rows ≈ 55 MB on the
+    * driver — comfortably collectable; beyond it the fused distributed
+    * kernel takes over (a 100-TB chain crosses this in snapshot 0).
+    */
+  final val LOCAL_PROBE_MAX_CONTENTS: Long = 1L << 16
+}
+
 final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
                              cfg: DedupConfig = DedupConfig(),
                              /** rewrite each append-only table's full prefix
@@ -135,10 +144,35 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
       // batch pipeline (a boilerplate band key with 10⁶ accumulated entries
       // × 10³ new arrivals must emit 10³ candidates, not 10⁹); ckeys are
       // registered exactly once so new/old element sets are disjoint, the
-      // kernel's contract
+      // kernel's contract.
+      //
+      // SMALL dispatch (zero extra jobs to decide — content counts come
+      // from the committed manifests): below LOCAL_PROBE_MAX_CONTENTS the
+      // whole key stream fits in a few driver MB, and the candidate kernel
+      // runs as ONE collect + local hash-group instead of ~6 sequential
+      // AQE query stages of pure latency — the same small-input dispatch
+      // as the serial chunk chain and the CC driver union-find; parity is
+      // spec-gated (BoundedBucketSpec). Above the threshold the fused
+      // distributed kernel runs unchanged.
       val newE = newKeys.select(col("key"), col("ckey").as("e"))
+      val nContents = (0 to snap).map(s => store.committedRows("features", s)).sum
       val cand = (
-        if (snap == 0)
+        if (nContents <= IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS) {
+          import spark.implicits._
+          def kv(df: DataFrame): Array[(Long, Long)] =
+            df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val nk = kv(newE.select(col("key"), col("e")))
+          val ok =
+            if (snap == 0) Array.empty[(Long, Long)]
+            else kv(keysOf(store.readRange("features", 0, snap - 1))
+              .select(col("key"), col("ckey")))
+          // parallelize (not a local relation): the pair array splits into
+          // normal-sized tasks for the downstream distinct + verify joins
+          spark.sparkContext.parallelize(
+            MinHashLSH.boundedProbePairsLocal(nk, ok, cfg.maxBucket).toSeq,
+            math.max(1, spark.sparkContext.defaultParallelism / 4))
+            .toDF("p", "q")
+        } else if (snap == 0)
           // no accumulated state yet — the plain batch kernel (one groupBy +
           // one join) emits the identical candidate set with fewer exchanges
           MinHashLSH.boundedBucketPairs(newE, Seq("key"), cfg.maxBucket)

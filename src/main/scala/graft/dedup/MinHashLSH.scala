@@ -175,6 +175,48 @@ object MinHashLSH {
     small.union(hot)
   }
 
+  /** Driver-local mirror of [[boundedProbePairs]] for SMALL key streams
+    * (the incremental toy/verify regime): identical per-key contract —
+    * keys with a new arrival and ≥2 members; small keys emit new×(old∪new)
+    * minus self; hot keys emit (anchor, e_new) stars with anchor = min old
+    * else min new. With `oldRows` empty this also reproduces
+    * [[boundedBucketPairs]]' candidate set up to pair orientation (callers
+    * normalize with least/greatest + distinct). Parity is spec-gated on
+    * randomized inputs (BoundedBucketSpec). The point: a probe over a few
+    * hundred thousand (key, e) rows costs ONE collect instead of ~6
+    * sequential AQE query stages — the same small-input dispatch the
+    * serial chunk chain and the driver union-find already use.
+    */
+  def boundedProbePairsLocal(newRows: Array[(Long, Long)],
+                             oldRows: Array[(Long, Long)],
+                             maxBucket: Int): Array[(Long, Long)] = {
+    val byKey = scala.collection.mutable.LongMap
+      .empty[(scala.collection.mutable.ArrayBuffer[Long],
+              scala.collection.mutable.ArrayBuffer[Long])] // (old, new)
+    for ((k, e) <- oldRows)
+      byKey.getOrElseUpdate(k,
+        (scala.collection.mutable.ArrayBuffer.empty,
+          scala.collection.mutable.ArrayBuffer.empty))._1 += e
+    for ((k, e) <- newRows)
+      byKey.getOrElseUpdate(k,
+        (scala.collection.mutable.ArrayBuffer.empty,
+          scala.collection.mutable.ArrayBuffer.empty))._2 += e
+    val out = Array.newBuilder[(Long, Long)]
+    for ((_, (olds, news)) <- byKey if news.nonEmpty
+         && olds.length + news.length > 1) {
+      if (olds.length + news.length <= maxBucket) {
+        for (p <- news) {
+          for (q <- olds) if (p != q) out += ((p, q))
+          for (q <- news) if (p != q) out += ((p, q))
+        }
+      } else {
+        val anchor = if (olds.nonEmpty) olds.min else news.min
+        for (q <- news) if (q != anchor) out += ((anchor, q))
+      }
+    }
+    out.result()
+  }
+
   /** Candidate pairs (a < b) from bucketed probe keys: one hash-shuffle on
     * the key — the explicit global exchange the reference never needs
     * (rank-local dedup, dedup_files_mpi.cpp:53-65) — then the bounded

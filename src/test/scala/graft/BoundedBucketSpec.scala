@@ -87,6 +87,21 @@ class BoundedBucketSpec extends AnyFunSuite with SparkTestBase {
       got.foreach { case (p, q) =>
         assert(newEls.contains(p) || newEls.contains(q), s"old-old pair ($p,$q)")
       }
+      // the driver-LOCAL kernel (IncrementalDedup's small dispatch) matches
+      // the distributed one exactly on the same inputs
+      val local = MinHashLSH.boundedProbePairsLocal(
+        newRows.toArray, oldRows.toArray, cap).toSet
+      assert(local == naive, s"trial $trial cap $cap (local kernel)")
+      // and with old EMPTY it reproduces the batch bucket kernel's
+      // candidate set up to orientation (the snap-0 dispatch path)
+      val localAll = MinHashLSH.boundedProbePairsLocal(
+          all.toArray, Array.empty, cap)
+        .map { case (p, q) => (math.min(p, q), math.max(p, q)) }.toSet
+      val batch = MinHashLSH.boundedBucketPairs(
+          all.toDF("key", "e"), Seq("key"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .map { case (p, q) => (math.min(p, q), math.max(p, q)) }.toSet
+      assert(localAll == batch, s"trial $trial cap $cap (snap0 orientation)")
     }
   }
 
