@@ -30,6 +30,12 @@ object Ann {
   final case class IvfConfig(nCells: Int, nProbe: Int)
   val PinnedIvf: IvfConfig = IvfConfig(nCells = 16, nProbe = 6)
 
+  /** Corpora up to this many vectors train the IVF quantizer driver-local
+    * (≤ 64k × 128-dim floats ≈ 32 MB collected once); larger corpora use
+    * the distributed assign/mean iteration.
+    */
+  final val LOCAL_KMEANS_MAX: Int = 1 << 16
+
   /** SRP bits as a function of corpus size — bits must track log2(n):
     * too many bits shatter true neighborhoods (AnnRecallProbe: bits=10 →
     * recall 0.02–0.07; even bits=6 × 12 tables drops to 0.49–0.53 on the
@@ -84,7 +90,10 @@ object Ann {
                 * per-qid results are independent); probes are generated for
                 * the restricted set only, so candidate volume scales with
                 * the query count, not the corpus. */
-              queryIds: Seq[Long] = Nil): DataFrame = {
+              queryIds: Seq[Long] = Nil,
+              /** local-quantizer dispatch threshold — overridden to 0 by
+                * the parity spec to force the distributed training path. */
+              localKmeansMax: Int = LOCAL_KMEANS_MAX): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -102,27 +111,62 @@ object Ann {
         .sortBy(-_._2).take(n).map(_._1).toArray
     }
 
-    // deterministic seeding: the nCells vectors with the smallest ids
-    var centroids: Array[Array[Float]] = vecs.orderBy("id").take(nCells).map(_._2)
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = vecs.mapPartitions(_.map { case (id, v) =>
-        (topCells(v, bc.value, 1)(0), id, v)
-      }).toDF("cell", "id", "v")
-      // element-wise mean per cell — pure DataFrame aggregation
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      centroids = centroids.indices.map { c =>
-        val dim = centroids(c).length
-        // round to 1e-4: absorbs partial-aggregation-order jitter in the
-        // float mean so repeated runs almost always see identical centroids
-        Array.tabulate(dim) { p =>
-          (math.rint(means.getOrElse((c, p), centroids(c)(p).toDouble) * 1e4) / 1e4).toFloat
+    // Quantizer training. Small corpora (≤ LOCAL_KMEANS_MAX vectors) train
+    // driver-local: ONE collect replaces 2 jobs × iters of assign/mean
+    // latency — probed with limit(MAX+1) so the decision itself costs at
+    // most the bounded collect (the small-input dispatch pattern shared
+    // with the serial chunk chain and the incremental probe kernel). The
+    // 1e-4 rounding keeps both paths' centroids identical up to float
+    // summation order, exactly as it absorbs Spark's partial-agg jitter.
+    val localProbe = vecs.limit(localKmeansMax + 1).collect()
+    val centroids: Array[Array[Float]] =
+      if (localProbe.length <= localKmeansMax) {
+        // deterministic seeding: the nCells vectors with the smallest ids
+        var cs = localProbe.sortBy(_._1).take(nCells).map(_._2)
+        for (_ <- 0 until iters) {
+          val dim = cs(0).length
+          val sums = Array.fill(nCells)(new Array[Double](dim))
+          val counts = new Array[Long](nCells)
+          for ((_, v) <- localProbe) {
+            val c = topCells(v, cs, 1)(0)
+            counts(c) += 1
+            var p = 0
+            while (p < dim) { sums(c)(p) += v(p); p += 1 }
+          }
+          cs = cs.indices.map { c =>
+            Array.tabulate(dim) { p =>
+              val m = if (counts(c) == 0) cs(c)(p).toDouble
+                      else sums(c)(p) / counts(c)
+              (math.rint(m * 1e4) / 1e4).toFloat
+            }
+          }.toArray
         }
-      }.toArray
-    }
+        cs
+      } else {
+        // deterministic seeding: the nCells vectors with the smallest ids
+        var cs = vecs.orderBy("id").take(nCells).map(_._2)
+        for (_ <- 0 until iters) {
+          val bc = spark.sparkContext.broadcast(cs)
+          val assigned = vecs.mapPartitions(_.map { case (id, v) =>
+            (topCells(v, bc.value, 1)(0), id, v)
+          }).toDF("cell", "id", "v")
+          // element-wise mean per cell — pure DataFrame aggregation
+          val means = assigned
+            .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+            .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+          cs = cs.indices.map { c =>
+            val dim = cs(c).length
+            // round to 1e-4: absorbs partial-aggregation-order jitter in
+            // the float mean so repeated runs almost always see identical
+            // centroids
+            Array.tabulate(dim) { p =>
+              (math.rint(means.getOrElse((c, p), cs(c)(p).toDouble) * 1e4) / 1e4).toFloat
+            }
+          }.toArray
+        }
+        cs
+      }
 
     val bc = spark.sparkContext.broadcast(centroids)
     val index = vecs.mapPartitions(_.map { case (id, v) =>

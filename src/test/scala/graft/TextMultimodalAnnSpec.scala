@@ -120,6 +120,14 @@ class TextMultimodalAnnSpec extends AnyFunSuite with SparkTestBase {
     val ivfFiltered = Ann.ivfTopK(emb, k = 5, nCells = 16, nProbe = 4)
       .filter(org.apache.spark.sql.functions.col("qid") < 15)
     assert(topkRows(ivfRestricted) == topkRows(ivfFiltered))
+
+    // the DISTRIBUTED quantizer-training branch (forced via
+    // localKmeansMax = 0) produces the identical index: the 1e-4 centroid
+    // rounding makes local and partial-agg float summation agree
+    val ivfDistributed = Ann.ivfTopK(emb, k = 5, nCells = 16, nProbe = 4,
+      localKmeansMax = 0)
+    val ivfLocal = Ann.ivfTopK(emb, k = 5, nCells = 16, nProbe = 4)
+    assert(topkRows(ivfDistributed) == topkRows(ivfLocal))
   }
 
   test("ANN: SRP threshold-pair join (the benched emb_cosine_pairs scale path) — exact precision, high recall on planted twins") {
