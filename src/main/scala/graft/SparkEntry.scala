@@ -69,6 +69,30 @@ object SparkEntry {
     out
   }
 
+  /** Run the session's shared near-dup pipeline ONCE, eagerly — the
+    * flagship throughput measurement — and SEED the pipeline cache with it
+    * so `pages_neardup_clusters`/`pages_neardup_pairs` consume this run
+    * instead of rebuilding: the session executes the sf-scale pipeline
+    * once, not twice. Input is materialized (and the corpus dump created)
+    * BEFORE the timed section, preserving the docs/sec contract. Returns
+    * pipeline wall seconds.
+    */
+  def primePipeline(s: SparkSession, dir: String): Double = {
+    val key = (s, oraclePagesPath(dir))
+    val corpus = pagesCorpus(s, dir).select("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val t0 = System.nanoTime()
+    val r = graft.dedup.NearDupPipeline.run(s, corpus, graft.dedup.DedupConfig())
+    r.assignments.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    corpus.unpersist() // pipeline intermediates are materialized + persisted
+    val prior = pipelineCache.putIfAbsent(key,
+      (r, scala.collection.mutable.Set("pairs", "clusters")))
+    if (prior.isDefined) r.close() // lost a (theoretical) race: theirs wins
+    sec
+  }
+
   /** Session-scoped memo for SMALL result frames that several queries share
     * (the exact ANN top-k, the multimodal decode features): one physical
     * plan per (session, sf), every later consumer reads the materialized
