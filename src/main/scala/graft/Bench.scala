@@ -39,9 +39,23 @@ object Bench {
     bigRes.close() // a leaked 100k-doc feature table would pin memory for
     big.unpersist() // the entire 36-query sweep below
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // build every session-shared memo frame BEFORE the timed sweep and
+    // charge the one-time cost to a named bucket: per-query numbers then
+    // stay comparable across rounds instead of jumping whenever alphabetical
+    // order changes which consumer pays a shared build first (r5:
+    // pages_decontaminate 2.9 → 14.8 s for exactly that reason)
+    val prepSec = SparkEntry.prepareSessionFrames(spark, sfDir)
+    val results = ("session_prep" -> prepSec) +:
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // loud, not silent: a bench-only failure must never read as a
+          // fast query (correctness still catches it in the driver's own
+          // Verify run, but the bench JSON should not look healthy)
+          System.err.println(s"[bench] WARNING: $name FAILED: ${e.getMessage}")
+          -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -25,10 +25,10 @@ object EdgeProbe {
           explode(graft.functions.gf.simhashKeys(col("sim64"),
             cfg.simhashBlocks, cfg.simhashMaxHamming)).as("key")))
     for (snap <- Seq(0, 1)) {
-      val newKeys = keysOf(store.read("features", snap))
+      val newKeys = keysOf(store.read("content", snap))
       val oldKeys =
         if (snap == 0) newKeys.limit(0).select("key", "ckey")
-        else keysOf(store.readRange("features", 0, snap - 1)).select("key", "ckey")
+        else keysOf(store.readRange("content", 0, snap - 1)).select("key", "ckey")
       t(s"snap$snap scan newKeys")(newKeys.count())
       val cand = graft.dedup.MinHashLSH.boundedProbePairs(
           newKeys.select(col("key"), col("ckey").as("e")),
@@ -40,13 +40,13 @@ object EdgeProbe {
         .distinct()
       val candP = cand.persist()
       t(s"snap$snap candidates")(println(s"[edgeprobe]   n_cand=${candP.count()}"))
-      val allFeatures = store.readRange("features", 0, snap)
+      val allFeatures = store.readRange("content", 0, snap)
         .select(col("ckey").as("doc_id"), col("sh"))
       val verified = graft.dedup.MinHashLSH
         .verifiedPairs(allFeatures, candP, cfg).select("a", "b")
       t(s"snap$snap verify")(println(s"[edgeprobe]   n_edges=${verified.count()}"))
       t(s"snap$snap write")(verified.write.mode("overwrite")
-        .parquet(s"/tmp/edgeprobe_out_$snap"))
+        .parquet(GraftSession.scratchRoot + s"/edgeprobe_out_$snap"))
       candP.unpersist()
     }
     spark.stop()

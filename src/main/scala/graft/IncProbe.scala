@@ -18,7 +18,7 @@ object IncProbe {
     val depth = sys.env.getOrElse("SPARK_GRAFT_INC_DEPTH", "2").toInt
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "4").toInt
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = math.max(cpus, 8))
-    val root = java.nio.file.Files.createTempDirectory("graft_inc_probe").toString
+    val root = GraftSession.scratchDir("graft_inc_probe")
     val store = new graft.state.SnapshotStore(spark, root)
     val inc = new graft.dedup.IncrementalDedup(spark, store,
       graft.dedup.DedupConfig(), compactEvery)
@@ -34,11 +34,10 @@ object IncProbe {
         .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
           concat(col("text"), lit(s" rev$snap"))).otherwise(col("text")))
       val t0 = System.nanoTime()
-      inc.processSnapshot(snap, df).count()
+      inc.processSnapshot(snap, df, expectedPages = Some(n + snap * step)).count()
       val total = (System.nanoTime() - t0) / 1e9
       println(f"[probe] snapshot $snap total $total%.2f s")
-      for (t <- Seq("pages_keyed", "registry", "features",
-        "edges", "content_clusters", "assignments", "metrics")
+      for (t <- Seq("pages_keyed", "content", "edges", "assignments", "metrics")
            if store.isCommitted(t, snap)) {
         val j = store.manifestJson(t, snap)
         val ms = """"write_ms":\s*(\d+)""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("?")
@@ -46,6 +45,7 @@ object IncProbe {
         println(s"[probe]   $t/$snap write_ms=$ms rows=$rows")
       }
     }
+    GraftSession.dropScratch(root)
     spark.stop()
   }
 }

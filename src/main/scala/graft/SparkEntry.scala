@@ -161,6 +161,36 @@ object SparkEntry {
       graft.dedup.SimHashDedup.fingerprints(pagesCorpus(s, dir))
     }
 
+  /** Per-source MinHash-union distinct-shingle estimate (one row per source,
+    * ≤ 20 rows), built once per session — served whole by
+    * `source_distinct_shingles` and joined against the exact counts by
+    * `sketch_distinct_gate`; closes the last same-plan-twice pair in the
+    * session (the r5 session built the shingle→minhash→groupBy estimate in
+    * both queries).
+    */
+  private def distinctShingleEstFrame(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "distinct_shingle_est") {
+      docs(s, dir).select(col("source"),
+          gf.minhash(gf.shingles(col("text"), cfg.shingleK), cfg.numPerm, cfg.seed).as("sig"))
+        .groupBy("source")
+        .agg(graft.functions.MinHashUnionAgg.estimateDistinct(col("sig")).as("est_distinct"))
+    }
+
+  /** Build every session-shared memo frame eagerly, so their one-time cost
+    * lands in a named `session_prep` bench bucket instead of inflating
+    * whichever consumer happens to run first alphabetically (r5:
+    * `pages_decontaminate` read 2.9 → 14.8 s purely because it became the
+    * first winnowFps consumer). Returns wall seconds. Verify sessions skip
+    * this — correctness timing is not reported.
+    */
+  def prepareSessionFrames(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    exactTopKFrame(s, dir); lshTopKFrame(s, dir); ivfTopKFrame(s, dir)
+    winnowFpsFrame(s, dir); simhashFpsFrame(s, dir); mmFeaturesFrame(s, dir)
+    distinctShingleEstFrame(s, dir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Multimodal decode-features frame shared by `mm_decode_features` and
     * `mm_contract_gate` (identical plan, built once per session).
     */
@@ -305,13 +335,21 @@ object SparkEntry {
     // dump (incSnapshots), which the oracle re-derives in SQL from the same
     // parquet: no extra dump inside the timed query
     "pages_incremental_clusters" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_inc_q").toString
-      val store = new graft.state.SnapshotStore(s, root)
-      val inc = new graft.dedup.IncrementalDedup(s, store, graft.dedup.DedupConfig())
-      val n = math.max(100L, pagesN(dir) / 2)
-      val (snap0, snap1) = incSnapshots(s, dir, n)
-      inc.processSnapshot(0, snap0)
-      inc.processSnapshot(1, snap1)
+      // temp store on the session scratch root (tmpfs on this host): every
+      // stage commit is a write-job + atomic rename + footer reads, and the
+      // r5 driver window measured this query at 42.7 s vs ~11 clean purely
+      // on /tmp disk weather. The store is scratch for this query (the
+      // RESULT is the returned frame) — materialize, then drop it.
+      val root = GraftSession.scratchDir("graft_inc_q")
+      try {
+        val store = new graft.state.SnapshotStore(s, root)
+        val inc = new graft.dedup.IncrementalDedup(s, store, graft.dedup.DedupConfig())
+        val n = math.max(100L, pagesN(dir) / 2)
+        val (snap0, snap1) = incSnapshots(s, dir, n)
+        inc.processSnapshot(0, snap0, expectedPages = Some(n))
+        inc.processSnapshot(1, snap1, expectedPages = Some(n + n / 10))
+          .localCheckpoint(true)
+      } finally GraftSession.dropScratch(root)
     }),
 
     // Reference-fidelity chunk dedup (tree approach): two checkpoints derived
@@ -594,13 +632,7 @@ object SparkEntry {
     // Typed Aggregator (§2.11): per-source distinct-shingle estimate via
     // MinHash signature union (partial+final agg, no set materialization) —
     // rows-only (sketch estimate; exactness asserted in tests vs oracle).
-    "source_distinct_shingles" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val feats = d.select(col("source"),
-        gf.minhash(gf.shingles(col("text"), cfg.shingleK), cfg.numPerm, cfg.seed).as("sig"))
-      feats.groupBy("source")
-        .agg(graft.functions.MinHashUnionAgg.estimateDistinct(col("sig")).as("est_distinct"))
-    }),
+    "source_distinct_shingles" -> ((s, dir) => distinctShingleEstFrame(s, dir)),
 
     // Sketch-accuracy gate: the MinHash-union distinct estimate must land
     // within ±25% (the 3σ bound at 128 perms, spec-asserted) of the EXACT
@@ -611,10 +643,8 @@ object SparkEntry {
       val exact = d.select(col("source"),
           explode(gf.shingles(col("text"), cfg.shingleK)).as("sh"))
         .groupBy("source").agg(count_distinct(col("sh")).as("n_exact"))
-      val est = d.select(col("source"),
-          gf.minhash(gf.shingles(col("text"), cfg.shingleK), cfg.numPerm, cfg.seed).as("sig"))
-        .groupBy("source")
-        .agg(graft.functions.MinHashUnionAgg.estimateDistinct(col("sig")).as("est"))
+      val est = distinctShingleEstFrame(s, dir)
+        .withColumnRenamed("est_distinct", "est")
       exact.join(est, "source")
         .agg(count(lit(1)).as("n_sources"),
           sum(when(abs(col("est") / col("n_exact") - 1.0) <= 0.25, 0L)
@@ -813,6 +843,39 @@ object SparkEntry {
         .agg(sum(when(col("got") === col("want"), 0L).otherwise(1L)).as("n_bad"))
         .select(when(col("n_bad") === 0, 1L).otherwise(0L).as("kat_ok"))
       corpus.crossJoin(kat)
+    }),
+
+    // SimHash-kernel gate (promoted in r6, mirroring murmur128_digest): one
+    // oracle-checked row pinning (a) deterministic known-answer fingerprints
+    // evaluated through the DISTRIBUTED codegen path (spark.range input —
+    // literal frames constant-fold and would bypass codegen; the expected
+    // longs are pinned literals, so an Impl regression AND a codegen drift
+    // both turn the row red), and (b) distributed-vs-driver agreement on the
+    // first 8 corpus docs. No injectivity column BY DESIGN: simhash maps
+    // near-identical texts to nearby (possibly equal) fingerprints, so
+    // distinct-count equality is not a kernel property. simhash_adjacent
+    // and pages_simhash_pairs now rest on an oracle-checked kernel.
+    "simhash64_kat" -> ((s, dir) => {
+      val ins = Seq("The quick brown fox jumps over the lazy dog", "hello", "",
+        "the the the", "Lorem ipsum dolor sit amet, consectetur adipiscing elit")
+      val exps = Seq(8836014699365148188L, -3758069500696749310L, 0L,
+        7678624745143340572L, -3313171391273649979L)
+      val kat = s.range(ins.size)
+        .select(
+          gf.simhash64(element_at(array(ins.map(lit): _*),
+            (col("id") + 1).cast("int"))).as("got"),
+          element_at(array(exps.map(lit): _*), (col("id") + 1).cast("int")).as("want"))
+        .agg(sum(when(col("got") === col("want"), 0L).otherwise(1L)).as("n_bad"))
+        .select(when(col("n_bad") === 0, 1L).otherwise(0L).as("kat_ok"))
+      val expect = docs(s, dir).filter(col("doc_id") < 8).select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> graft.functions.Impl.simhash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))).toMap
+      val agree = docs(s, dir).filter(col("doc_id") < 8)
+        .select(when(gf.simhash64(col("text"))
+          === element_at(typedLit(expect), col("doc_id")), 0L).otherwise(1L).as("bad"))
+        .agg(sum(col("bad")).as("n_bad"))
+        .select(when(col("n_bad") === 0, 1L).otherwise(0L).as("dist_matches_local"))
+      docs(s, dir).agg(count(lit(1)).as("n_docs")).crossJoin(kat).crossJoin(agree)
     }),
 
     // SimHash fingerprints + Hamming distance of consecutive docs.
@@ -1317,6 +1380,9 @@ object SparkEntry {
     "murmur128_digest" ->
       """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS digest_injective_ok,
         |       CAST(1 AS BIGINT) AS kat_ok FROM documents""".stripMargin,
+    "simhash64_kat" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS kat_ok,
+        |       CAST(1 AS BIGINT) AS dist_matches_local FROM documents""".stripMargin,
     "text_fingerprints" ->
       """SELECT count(*) AS n_docs,
         |       CAST(1 AS BIGINT) AS fingerprint_injective_ok,

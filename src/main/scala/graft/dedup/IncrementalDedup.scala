@@ -10,12 +10,14 @@ import graft.state.SnapshotStore
   * (/root/reference/src/dedup_files.cpp:65-105).
   *
   * The dedup graph is keyed by CONTENT, not by document: a content unit
-  * (ckey = content hash of normalized text) is immutable, so the registry,
-  * feature, band-index and edge tables are APPEND-ONLY across snapshots —
+  * (ckey = content hash of normalized text) is immutable, so the content
+  * (registry+features) and edge tables are APPEND-ONLY across snapshots —
   * each snapshot commits only its fresh rows and the cumulative table is the
   * committed range (an Iceberg partition-pruned scan). No state row is ever
   * invalidated when a url's text changes (the url just points at a different
-  * content node). Per snapshot:
+  * content node). Committed tables per snapshot: pages_keyed, content,
+  * edges, assignments, metrics (5; r5 had 7 — registry+features merged,
+  * content_clusters derived). Per snapshot:
   *
   *   - FIXED fast path (F1/F2, basic_approach.cpp:36-44): urls whose ckey
   *     equals their previous snapshot's bypass all content work;
@@ -36,9 +38,15 @@ import graft.state.SnapshotStore
   */
 object IncrementalDedup {
   /** Accumulated-content threshold for the driver-local candidate kernel:
-    * 64k contents × 52 probe keys ≈ 3.4M (Long, Long) rows ≈ 55 MB on the
-    * driver — comfortably collectable; beyond it the fused distributed
-    * kernel takes over (a 100-TB chain crosses this in snapshot 0).
+    * 64k contents × 52 probe keys ≈ 3.4M (Long, Long) rows. Honest JVM
+    * footprint at the threshold (this number SIZES the constant): ~110 MB
+    * for the collected specialized-Tuple2 arrays (~32 B each), plus
+    * ~100–200 MB transient for boundedProbePairsLocal's LongMap of boxed
+    * ArrayBuffer[Long]s and the collect()'s Row decoding — several hundred
+    * MB peak on the 8 g driver heap, comfortably bounded but NOT the 16 B/row
+    * of a primitive array (r5's comment undercounted 4–8×). Beyond the
+    * threshold the fused distributed kernel takes over (a 100-TB chain
+    * crosses this in snapshot 0).
     */
   final val LOCAL_PROBE_MAX_CONTENTS: Long = 1L << 16
 }
@@ -53,15 +61,26 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
 
   /** Process snapshot `snap` of the pages table; returns (doc_id, cluster)
     * for this snapshot's documents. Idempotent.
+    *
+    * `expectedPages`: optional caller-known input row count — sizes the
+    * first stage's committed file count (SnapshotStore small-output
+    * coalescing); later stages size themselves from committed manifests.
     */
-  def processSnapshot(snap: Int, pages: DataFrame): DataFrame = {
+  def processSnapshot(snap: Int, pages: DataFrame,
+                      expectedPages: Option[Long] = None): DataFrame = {
     val t0 = System.nanoTime()
 
     // NARROW state: the store never duplicates the text lake (the input
     // Iceberg table already holds it durably) — only (url, doc_id, ckey)
     // rows are committed; text is joined back from `pages` for the few
-    // freshly registered contents below
-    val keyed = store.stage("pages_keyed", snap) {
+    // freshly registered contents below.
+    // File-count sizing: caller hint, else the previous snapshot's manifest
+    // count + the workload's ~10% growth — approxRows is only a file-count
+    // sizer, an upper bound is fine.
+    val keyedApprox = expectedPages.orElse(
+      if (snap == 0) None
+      else Some(math.max(1L, store.committedRows("pages_keyed", snap - 1) * 6 / 5)))
+    val keyed = store.stage("pages_keyed", snap, approxRows = keyedApprox) {
       pages.select(col("url"), col("doc_id"),
         gf.contentKey64(col("text")).as("ckey"))
     }
@@ -82,8 +101,15 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
           .drop("prev_ckey")
       }
 
-    // content registry (J1 insert-if-absent): ckey → content_id (min doc_id).
-    // Append-only: this snapshot commits only its FRESH registrations.
+    // Content registry (J1 insert-if-absent) + fused features in ONE
+    // committed table (r6): ckey → (content_id, sig, sim64, sh). The r5
+    // layout committed `registry` and `features` separately — two
+    // write-job + rename + footer round-trips for rows that are 1:1 by
+    // ckey; merging drops one commit per snapshot at the cost of one stage
+    // of resume granularity. Featureless contents (empty text) keep a row
+    // with NULL features: registration is what guarantees every document
+    // an assignment, and explode(bands(NULL)) contributes zero probe keys.
+    //
     // INVARIANT the cluster labels rely on: content_id is frozen at first
     // registration (min doc_id among the registering snapshot's changed
     // docs). A LOWER doc_id presenting an already-registered content in a
@@ -94,29 +120,32 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // pages_incremental_clusters oracle may elect cids globally (min doc_id
     // over ALL snapshots) only because the synthesized workload never
     // re-presents a content from a smaller doc_id.
-    def regUpTo(hi: Int): DataFrame =
+    def contentUpTo(hi: Int): DataFrame =
       if (hi < 0) emptyReg()
-      else store.readRange("registry", 0, hi).select("ckey", "content_id")
-    val freshReg = store.stage("registry", snap) {
-      changed.join(regUpTo(snap - 1).select("ckey"), Seq("ckey"), "left_anti")
+      else store.readRange("content", 0, hi)
+    // fresh registrations feed BOTH the feature pass and the final
+    // left-join; persist the (small, per-snapshot work set) frame so the
+    // accumulated-registry anti-join runs once, not twice. Lazy: on resume
+    // the stage compute never evaluates and the persist costs nothing.
+    val freshReg =
+      changed.join(contentUpTo(snap - 1).select("ckey"), Seq("ckey"), "left_anti")
         .groupBy("ckey").agg(min("doc_id").as("content_id"))
-    }
-    val registry = regUpTo(snap)
-
-    // fresh content of THIS snapshot: registered here, banded once, never
-    // re-processed (text comes from the electing document's INPUT row — the
-    // store holds no text)
-    val freshContent = freshReg
-      .select(col("ckey"), col("content_id").as("doc_id"))
-      .join(pages.select("doc_id", "text"), Seq("doc_id"))
-      .select(col("ckey"), col("text"))
-
-    // fused features: shingles + MinHash signature + SimHash fingerprint in
-    // one tokenization pass per content (same kernel as the batch flagship)
-    val newFeatures = store.stage("features", snap) {
-      MinHashLSH.featuresFused(freshContent, cfg, idCol = "ckey")
-        .withColumnRenamed("doc_id", "ckey")
-    }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newContent =
+      try store.stage("content", snap,
+        approxRows = Some(store.committedRows("pages_keyed", snap))) {
+        // text comes from the electing document's INPUT row — the store
+        // holds no text; shingles + MinHash + SimHash in one tokenization
+        // pass per content (same kernel as the batch flagship)
+        val fused = MinHashLSH.featuresFused(
+          freshReg.select(col("ckey"), col("content_id").as("doc_id"))
+            .join(pages.select("doc_id", "text"), Seq("doc_id"))
+            .select(col("ckey"), col("text")), cfg, idCol = "ckey")
+          .withColumnRenamed("doc_id", "ckey")
+        freshReg.join(fused, Seq("ckey"), "left")
+      } finally freshReg.unpersist()
+    val registry = contentUpTo(snap).select("ckey", "content_id")
+    val newFeatures = newContent.select("ckey", "sig", "sim64", "sh")
 
     // ONE unified probe-key stream, exactly like the batch pipeline's
     // unioned key stream (NearDupPipeline): LSH band hashes (band index
@@ -139,7 +168,10 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // near-dup edges between content nodes — per-snapshot sets are disjoint
     // (a pair surfaces exactly when its newer member arrives, via either
     // probe family), so only the new edges are committed
-    val newEdges = store.stage("edges", snap) {
+    val newEdges = store.stage("edges", snap,
+      // file sizer only: verified edge count is near-linear in this
+      // snapshot's new contents (bounded probes; star caps on hot keys)
+      approxRows = Some(math.max(1L, store.committedRows("content", snap)))) {
       // bounded new-vs-accumulated probes: same hot-key star guard as the
       // batch pipeline (a boilerplate band key with 10⁶ accumulated entries
       // × 10³ new arrivals must emit 10³ candidates, not 10⁹); ckeys are
@@ -155,7 +187,7 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
       // spec-gated (BoundedBucketSpec). Above the threshold the fused
       // distributed kernel runs unchanged.
       val newE = newKeys.select(col("key"), col("ckey").as("e"))
-      val nContents = (0 to snap).map(s => store.committedRows("features", s)).sum
+      val nContents = (0 to snap).map(s => store.committedRows("content", s)).sum
       val cand = (
         if (nContents <= IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS) {
           import spark.implicits._
@@ -164,7 +196,7 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
           val nk = kv(newE.select(col("key"), col("e")))
           val ok =
             if (snap == 0) Array.empty[(Long, Long)]
-            else kv(keysOf(store.readRange("features", 0, snap - 1))
+            else kv(keysOf(store.readRange("content", 0, snap - 1))
               .select(col("key"), col("ckey")))
           // parallelize (not a local relation): the pair array splits into
           // normal-sized tasks for the downstream distinct + verify joins
@@ -177,21 +209,28 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
           // one join) emits the identical candidate set with fewer exchanges
           MinHashLSH.boundedBucketPairs(newE, Seq("key"), cfg.maxBucket)
         else MinHashLSH.boundedProbePairs(newE,
-          keysOf(store.readRange("features", 0, snap - 1))
+          keysOf(store.readRange("content", 0, snap - 1))
             .select(col("key"), col("ckey").as("e")),
           Seq("key"), cfg.maxBucket))
         .filter(col("p") =!= col("q"))
         .select(least(col("p"), col("q")).as("a"), greatest(col("p"), col("q")).as("b"))
         .distinct()
-      val allFeatures = store.readRange("features", 0, snap)
+      val allFeatures = store.readRange("content", 0, snap)
         .select(col("ckey").as("doc_id"), col("sh"))
       MinHashLSH.verifiedPairs(allFeatures, cand, cfg).select("a", "b")
     }
     val edges = store.readRange("edges", 0, snap).select("a", "b")
 
-    // content-level clustering over ckey nodes; deterministic label = min
-    // content_id (= min doc_id ever holding any content of the component)
-    val contentClusters = store.stage("content_clusters", snap) {
+    // Content-level clustering over ckey nodes; deterministic label = min
+    // content_id (= min doc_id ever holding any content of the component).
+    // DERIVED, never committed (r6): CC is a deterministic function of two
+    // committed inputs (registry ⊂ content, edges), exactly the reasoning
+    // that already made `changed` derived and deleted probe_index — at
+    // scale the cluster map is yet another contents-sized table, and its
+    // single consumer (assignments, committed right below) is the resume
+    // point. ConnectedComponents checkpoints its rounds internally, so
+    // deriving adds no recomputation.
+    val contentClusters = {
       // edge count comes from the committed manifests — no dispatch job
       val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
       val comps = ConnectedComponents.assignAll(spark,
@@ -204,13 +243,15 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     }
 
     // documents inherit their content's cluster (one hash join, no rescan)
-    val assignments = store.stage("assignments", snap) {
+    val assignments = store.stage("assignments", snap,
+      approxRows = Some(store.committedRows("pages_keyed", snap))) {
       keyed.select(col("doc_id"), col("ckey"))
         .join(contentClusters, Seq("ckey"))
         .select(col("doc_id"), col("cluster"))
     }
 
-    store.stage("metrics", snap, Map("stage" -> "snapshot_summary")) {
+    store.stage("metrics", snap, Map("stage" -> "snapshot_summary"),
+      approxRows = Some(1L)) {
       import spark.implicits._
       // row counts come from the committed stage manifests — zero extra
       // jobs, except n_changed (A3): `changed` is derived, not committed,
@@ -220,7 +261,7 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
       Seq((snap, store.committedRows("pages_keyed", snap),
         if (snap == 0) store.committedRows("pages_keyed", 0) // changed ≡ keyed
         else changed.count(),
-        store.committedRows("features", snap), nEdges,
+        store.committedRows("content", snap), nEdges,
         store.committedRows("assignments", snap),
         (System.nanoTime() - t0) / 1000000))
         .toDF("snapshot", "n_pages", "n_changed", "n_new_content",
@@ -232,8 +273,7 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // chain's readRange unions ≤ compactEvery scans instead of 100
     // (SnapshotStore.compactUpTo is idempotent — resume-safe like a stage)
     if (compactEvery > 0 && (snap + 1) % compactEvery == 0)
-      Seq("registry", "features", "edges")
-        .foreach(t => store.compactUpTo(t, snap))
+      Seq("content", "edges").foreach(t => store.compactUpTo(t, snap))
 
     assignments
   }

@@ -121,9 +121,13 @@ object Ann {
     val localProbe = vecs.limit(localKmeansMax + 1).collect()
     val centroids: Array[Array[Float]] =
       if (localProbe.length <= localKmeansMax) {
-        // deterministic seeding: the nCells vectors with the smallest ids
+        // deterministic seeding: the nCells vectors with the smallest ids.
+        // An EMPTY corpus short-circuits to zero centroids (the distributed
+        // branch degrades the same way through empty aggregations) — the
+        // assign/probe lambdas below then never run because there are no
+        // rows, and the result is an empty frame, not an exception.
         var cs = localProbe.sortBy(_._1).take(nCells).map(_._2)
-        for (_ <- 0 until iters) {
+        for (_ <- 0 until iters if cs.nonEmpty) {
           val dim = cs(0).length
           val sums = Array.fill(nCells)(new Array[Double](dim))
           val counts = new Array[Long](nCells)

@@ -34,10 +34,33 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   def isCommitted(table: String, snap: Int): Boolean = Files.exists(manifest(table, snap))
 
-  /** Write + commit one snapshot of a table. No-op if already committed. */
-  def commit(table: String, snap: Int, df: DataFrame,
-             meta: Map[String, String] = Map.empty): Unit = {
+  /** Target rows per committed file — sizes the optional pre-write
+    * repartition (≈128 MB files for the narrow state rows at 100-TB scale).
+    */
+  private val targetRowsPerFile = 1L << 21
+
+  /** Write + commit one snapshot of a table. No-op if already committed.
+    *
+    * `approxRows`: caller's manifest-derived output-size estimate (an upper
+    * bound is fine). When the implied file count is BELOW the session
+    * parallelism, the write is preceded by one repartition(k) so a tiny
+    * stage commits k files instead of one near-empty file per task
+    * (pages_keyed at bench scale: 59 files × ~170 rows — 59 footer reads
+    * per commit and 59-task downstream scans, pure latency). The
+    * repartition exchange is only ever taken on provably small outputs; a
+    * 100-TB stage's natural partitioning is never touched — no extra
+    * shuffle on the scale path.
+    */
+  def commit(table: String, snap: Int, df0: DataFrame,
+             meta: Map[String, String] = Map.empty,
+             approxRows: Option[Long] = None): Unit = {
     if (isCommitted(table, snap)) return
+    val df = approxRows match {
+      case Some(r) =>
+        val k = math.max(1L, (r + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        if (k < spark.sparkContext.defaultParallelism) df0.repartition(k) else df0
+      case None => df0
+    }
     val target = dir(table, snap)
     val tmp = Paths.get(target.toString + ".tmp")
     deleteRec(tmp); deleteRec(target)
@@ -92,9 +115,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * growing with chain depth. Idempotent and crash-safe like any commit.
     */
   def compactUpTo(table: String, upTo: Int): Unit =
-    if (!isCommitted(compactName(table), upTo))
+    if (!isCommitted(compactName(table), upTo)) {
+      // the rewrite's size is exactly the sum of its inputs' manifests
+      val rows = (0 to upTo).filter(isCommitted(table, _))
+        .map(committedRows(table, _)).sum
       commit(compactName(table), upTo, readRange(table, 0, upTo),
-        Map("compacted_through" -> upTo.toString))
+        Map("compacted_through" -> upTo.toString), Some(rows))
+    }
 
   /** Read committed snapshots snapLo..snapHi of a table as one DataFrame with
     * a `snapshot_id` column (partition-pruned scan analogue). A full-prefix
@@ -139,10 +166,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"no rows field in $table/snapshot=$snap manifest"))
 
-  /** Compute-or-reuse: the stage runner every pipeline step goes through. */
-  def stage(table: String, snap: Int, meta: Map[String, String] = Map.empty)
+  /** Compute-or-reuse: the stage runner every pipeline step goes through.
+    * `approxRows` forwards to [[commit]]'s small-output file coalescing.
+    */
+  def stage(table: String, snap: Int, meta: Map[String, String] = Map.empty,
+            approxRows: Option[Long] = None)
            (compute: => DataFrame): DataFrame = {
-    if (!isCommitted(table, snap)) commit(table, snap, compute, meta)
+    if (!isCommitted(table, snap)) commit(table, snap, compute, meta, approxRows)
     read(table, snap)
   }
 

@@ -48,10 +48,13 @@ object Decontaminate {
     // shorter than gram+window−1 is outside the winnowing guarantee and
     // would silently produce false negatives. The probe side is tiny
     // (broadcast by design), so the check is one cheap job.
+    // NULL probes count as short too: length(NULL) is NULL (filter would
+    // drop them) and a NULL probe silently yields zero fingerprints — the
+    // exact silent-false-negative class this require eliminates
     val minProbe = gram + window - 1
-    val nShort = np.filter(length(col("p")) < minProbe).count()
+    val nShort = np.filter(col("p").isNull || length(col("p")) < minProbe).count()
     require(nShort == 0,
-      s"$nShort probe(s) shorter than gram+window-1 = $minProbe chars — " +
+      s"$nShort probe(s) NULL or shorter than gram+window-1 = $minProbe chars — " +
         "detection is only exact at or above that length; lengthen the " +
         "probes or lower (gram, window)")
     def fps(df: DataFrame, id: String, text: Column): DataFrame =

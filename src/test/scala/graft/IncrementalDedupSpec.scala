@@ -51,7 +51,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     val allKeyed = snapshotPages(0, n, m).select("doc_id", "text")
       .unionByName(snapshotPages(1, n, m).select("doc_id", "text"))
       .withColumn("ckey", graft.functions.gf.contentKey64(col("text")))
-    val contents = store.readRange("registry", 0, 1).select("ckey", "content_id")
+    val contents = store.readRange("content", 0, 1).select("ckey", "content_id")
       .join(allKeyed
         .groupBy("ckey").agg(min(struct(col("doc_id"), col("text"))).as("w"))
         .select(col("ckey"), col("w.text").as("text")), Seq("ckey"))
@@ -61,7 +61,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     val oracleClusters = SerialOracle.clusters(contents.map(_._1), oraclePairs)
     // project: doc → content → oracle cluster
     val doc2content = store.read("pages_keyed", 1)
-      .join(store.readRange("registry", 0, 1).select("ckey", "content_id"), Seq("ckey"))
+      .join(store.readRange("content", 0, 1).select("ckey", "content_id"), Seq("ckey"))
       .select("doc_id", "content_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
@@ -90,7 +90,6 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     // ---- kill/resume: drop the last two stages, rerun completes them ------
     def rmrf(p: Path): Unit = if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-    rmrf(Paths.get(root, "content_clusters", "snapshot=1"))
     rmrf(Paths.get(root, "assignments", "snapshot=1"))
     rmrf(Paths.get(root, "metrics", "snapshot=1"))
     val inc3 = new IncrementalDedup(spark, new SnapshotStore(spark, root), cfg)
@@ -98,10 +97,13 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(resumed == assign1)
     val after = mtimes(Paths.get(root))
-    // upstream stages untouched, killed stages recommitted
+    // upstream stages untouched, killed stages recommitted (the derived
+    // content-clusters map recomputes deterministically from them)
     assert(after("edges/snapshot=1/_MANIFEST.json") == before("edges/snapshot=1/_MANIFEST.json"))
-    assert(after("content_clusters/snapshot=1/_MANIFEST.json")
-      > before("content_clusters/snapshot=1/_MANIFEST.json") - 1)
+    assert(after("content/snapshot=1/_MANIFEST.json")
+      == before("content/snapshot=1/_MANIFEST.json"))
+    assert(after("assignments/snapshot=1/_MANIFEST.json")
+      > before("assignments/snapshot=1/_MANIFEST.json") - 1)
 
     // manifests carry per-partition lineage
     val mj = store.manifestJson("edges", 1)
@@ -186,7 +188,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     // registry: exactly one row for the shared ckey, content_id frozen at 100
     val sharedCkey = pages(("u", 0L, tShared))
       .select(graft.functions.gf.contentKey64(col("text"))).head.getLong(0)
-    val regRows = store.readRange("registry", 0, 1)
+    val regRows = store.readRange("content", 0, 1)
       .filter(col("ckey") === sharedCkey)
       .select("content_id").collect().map(_.getLong(0))
     assert(regRows.toSeq == Seq(100L),
@@ -258,12 +260,12 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     val (aOn, root) = run(3)
     assert(aOn == aOff, "compaction changed cluster assignments")
     val store = new SnapshotStore(spark, root)
-    assert(store.isCommitted("registry__compacted", 5))
+    assert(store.isCommitted("content__compacted", 5))
     assert(store.isCommitted("edges__compacted", 5))
     // compacted prefix holds exactly the union it replaced
-    val viaCompact = store.readRange("registry", 0, 5)
+    val viaCompact = store.readRange("content", 0, 5)
       .select("ckey", "content_id", "snapshot_id").collect().toSet // reads compacted(5)
-    val direct = (0 to 5).map(s => store.read("registry", s)
+    val direct = (0 to 5).map(s => store.read("content", s)
         .withColumn("snapshot_id", lit(s)))
       .reduce(_ unionByName _)
       .select("ckey", "content_id", "snapshot_id").collect().toSet
@@ -271,7 +273,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     // fan-in: a fresh handle reading the full 8-snapshot prefix touches the
     // compacted snapshot + the 2-snapshot tail = 3 scans, not 8
     val fresh = new SnapshotStore(spark, root)
-    fresh.readRange("registry", 0, 7).count()
+    fresh.readRange("content", 0, 7).count()
     assert(fresh.readCount == 3, s"fan-in not bounded: ${fresh.readCount} reads")
   }
 
