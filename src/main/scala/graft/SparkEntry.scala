@@ -235,6 +235,36 @@ object SparkEntry {
   private def oraclePagesPath(dir: String): String =
     s"/tmp/graft_oracle/pages_n${pagesN(dir)}_s42_v2" // v2: + url column
 
+  /** sf token of a testdata dir ("sf0.01") — names per-sf oracle dumps. */
+  private def sfTag(dir: String): String =
+    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(0)).getOrElse("sfx")
+  private def simhashDocsPath(dir: String): String =
+    s"/tmp/graft_oracle/simhash_docs_${sfTag(dir)}_v1"
+  private def simhashPagesPath(dir: String): String =
+    s"/tmp/graft_oracle/simhash_pages_${sfTag(dir)}_v1"
+
+  /** Dump DRIVER-computed SimHash fingerprints for an (id, text) frame —
+    * pure-Scala Impl.simhash64 on collected rows, an execution path with no
+    * Spark codegen/distribution in it — so the DuckDB oracle can replay
+    * `simhash_adjacent` / `pages_simhash_pairs` as plain bit_count(xor(..))
+    * SQL over independently-computed fingerprints (promotes both from
+    * rows-only: a distributed-kernel drift on ANY row now turns the oracle
+    * row red; simhash64_kat additionally pins literal KATs through codegen).
+    * Bounded oracle machinery, not a query path: one collect of ≤ 20k
+    * (id, text) rows per (machine, sf), dumped once.
+    */
+  private def dumpDriverSimhashOnce(s: SparkSession, src: => DataFrame,
+                                    path: String): Unit =
+    dumpOnce({
+      import s.implicits._
+      src.collect().toSeq.map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None
+          else Some(graft.functions.Impl.simhash64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))))
+      }.toDF("doc_id", "sim64")
+    }, path)
+
   /** The incremental query's two deterministic snapshots: snap0 = first n
     * docs; snap1 = n + n/10 docs with every 37th pre-existing doc revised.
     * Shared by the driver query and IncProbe so the probe always profiles
@@ -282,10 +312,21 @@ object SparkEntry {
         .select("doc_id", "rep")),
 
     // SimHash Hamming-ball candidate pairs (fingerprints via the session
-    // memo — shared with simhash_ball_gate's corpus-wide cross-check)
-    "pages_simhash_pairs" -> ((s, dir) =>
+    // memo — shared with simhash_ball_gate's corpus-wide cross-check).
+    // Contract (oracle-pinned since r6): EXACTLY the Hamming-ball pair set
+    // {(a,b) : a < b, hamming(f_a, f_b) ≤ d} over nonempty docs — maxBucket
+    // is raised because star-capping belongs to CLUSTERING (where
+    // connectivity suffices); a pair-LISTING query's output is Θ(ball pairs)
+    // by definition, so capping could only make it silently incomplete
+    // (same reasoning as simhash_ball_gate). The DuckDB side recomputes the
+    // ball from driver-pure fingerprints (dumpDriverSimhashOnce).
+    "pages_simhash_pairs" -> ((s, dir) => {
+      dumpDriverSimhashOnce(s,
+        pagesCorpus(s, dir).filter(length(trim(col("text"))) > 0)
+          .select("doc_id", "text"), simhashPagesPath(dir))
       graft.dedup.SimHashDedup.candidatePairs(simhashFpsFrame(s, dir),
-        graft.dedup.DedupConfig())),
+        graft.dedup.DedupConfig(maxBucket = 1 << 20))
+    }),
 
     // exact long-repeat pass, winnowing candidates (detects all repeats
     // >= gram+window-1 corpus-wide)
@@ -879,7 +920,13 @@ object SparkEntry {
     }),
 
     // SimHash fingerprints + Hamming distance of consecutive docs.
+    // Oracle (promoted r6): DuckDB joins driver-pure fingerprints
+    // (dumpDriverSimhashOnce) on doc_id+1 and computes bit_count(xor) — the
+    // distributed kernel must agree on every row AND the adjacency/hamming
+    // shape must match.
     "simhash_adjacent" -> ((s, dir) => {
+      dumpDriverSimhashOnce(s, docs(s, dir).select("doc_id", "text"),
+        simhashDocsPath(dir))
       val d = docs(s, dir).select(col("doc_id"), gf.simhash64(col("text")).as("sh"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       d.join(b, col("id_b") === col("doc_id") + 1)
@@ -1369,6 +1416,22 @@ object SparkEntry {
     "mm_contract_gate" ->
       s"""SELECT count(*) AS n_assets, CAST(1 AS BIGINT) AS contract_ok
          |FROM $pagesGlob""".stripMargin,
+    // full-row oracles over DRIVER-pure fingerprints (dumpDriverSimhashOnce):
+    // DuckDB recomputes hamming as bit_count(xor) — the distributed simhash
+    // kernel must agree with the driver computation on EVERY row, and the
+    // pair/adjacency semantics must match exactly (promoted from rows-only r6)
+    "simhash_adjacent" ->
+      s"""WITH f AS (SELECT doc_id, sim64 FROM
+         |  read_parquet('${simhashDocsPath("/root/testdata/sf0.01")}/*.parquet'))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sim64, b.sim64)) AS INT) AS hdist
+         |FROM f a JOIN f b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "pages_simhash_pairs" ->
+      s"""WITH f AS (SELECT doc_id, sim64 FROM
+         |  read_parquet('${simhashPagesPath("/root/testdata/sf0.01")}/*.parquet'))
+         |SELECT x.doc_id AS a, y.doc_id AS b
+         |FROM f x JOIN f y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sim64, y.sim64)) <= ${cfg.simhashMaxHamming}""".stripMargin,
     "sketch_distinct_gate" ->
       """SELECT count(DISTINCT source) AS n_sources,
         |       CAST(1 AS BIGINT) AS all_within_tolerance FROM documents""".stripMargin,
