@@ -211,15 +211,27 @@ object ChunkDedup {
   object Chain {
     /** Checkpoints up to this many chunks use the in-memory forest sweep with
       * batched map probes; larger ones use the per-level DataFrame sweep.
+      * Driver footprint at the bound (honest boxed arithmetic, the
+      * IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS convention): the sweep
+      * collects the labeled leaves — Rows of (Long node, 16-B digest,
+      * label) ≈ 100 B boxed — plus the SHIFT-leaf source triples, so 2²⁰
+      * leaves ≈ 100–150 MB transient on the 8 g driver heap. Chunk CONTENT
+      * is never collected (commits pull it distributed), which is what lets
+      * this bound sit 16× above SERIAL_MAX.
       */
-    final val LOCAL_SWEEP_MAX: Long = 1L << 16
+    final val LOCAL_SWEEP_MAX: Long = 1L << 20
 
-    /** STORELESS chains up to this many chunks run fully serial on the
-      * driver (the reference's own in-memory single-device mode): one
-      * collect per checkpoint instead of ~18 eager toy-scale Spark jobs.
-      * Store-backed chains always take the Spark path (commits need real
-      * distributed writes); parity is spec-gated three ways
-      * (serial / local-sweep / distributed).
+    /** Chains up to this many chunks run fully serial on the driver (the
+      * reference's own in-memory single-device mode): one collect per
+      * checkpoint instead of ~18 eager toy-scale Spark jobs. Since r6 this
+      * includes STORE-BACKED chains — the serial path commits the same
+      * chunk_first/chunk_shift tables (driver-built frames, identical
+      * schema + manifest metadata incl. the full-buffer MD5), so a
+      * checkpoint costs 1 collect + 2 commit writes; commit/restart parity
+      * with the forced Spark path is spec-gated alongside the three-way
+      * label parity (serial / local-sweep / distributed). Driver footprint
+      * at the bound: 2¹² chunks of content collected — the input buffer
+      * itself, KBs to a few MB.
       */
     final val SERIAL_MAX: Long = 1L << 12
 
@@ -332,8 +344,9 @@ object ChunkDedup {
     /** accumulated reconstructions used by restart(): (chkpt, pos, chunk). */
     private var reconAll: DataFrame = _
 
-    // serial-mode state (storeless toy chains: one driver map per structure)
-    private val serialMode = store.isEmpty && numChunks <= serialMax
+    // serial-mode state (toy chains, store-backed or not: one driver map per
+    // structure; commits go through driver-built frames — Chain.SERIAL_MAX)
+    private val serialMode = numChunks <= serialMax
     private type SDigest = scala.collection.immutable.ArraySeq[Byte]
     private def skey(d: Array[Byte]): SDigest =
       scala.collection.immutable.ArraySeq.unsafeWrapArray(d)
@@ -403,9 +416,13 @@ object ChunkDedup {
         val k = skey(d)
         if (!sDistinct.contains(k)) sDistinct.put(k, (cid, node))
       }
-      val presentShift = shiftCand.collect {
-        case (node, d) if sDistinct.contains(skey(d)) => node
-      }.toSet
+      // internal SHIFT candidates present in the map, WITH their map sources
+      // (region roots inherit the map entry — same probe the Spark local
+      // branch batches through shiftIntSrc)
+      val shiftIntSrc: Map[Long, (Int, Long)] = shiftCand.iterator.flatMap {
+        case (node, d) => sDistinct.get(skey(d)).map(node -> _)
+      }.toMap
+      val presentShift = shiftIntSrc.keySet
       val counts = Chain.regionCounts(leafEntries, firstInt, fixedInt,
         shiftCand, presentShift)
 
@@ -427,6 +444,40 @@ object ChunkDedup {
         Chain.regionRootSizes(leafEntries, firstInt, fixedInt, shiftCand,
           presentShift, numChunks))
       results += res
+
+      // durable incremental checkpoint — the same two file sections, schema
+      // and manifest metadata as the Spark path (restartFromStore is
+      // path-agnostic): region-compacted shift table = SHIFT leaves + map-hit
+      // internals whose parent is NOT itself a map-hit internal, each with
+      // its source. Whole checkpoint = 1 input collect + 2 commit writes
+      // instead of the Spark path's ~18 eager toy-scale jobs (parity +
+      // job-count spec-gated).
+      store.foreach { st =>
+        @inline def parent(u: Long): Long = (u - 1) / 2
+        val leafRegions = (0 until n).iterator.collect {
+          case p if labels(p) == SHIFT => ((leafBase + p).toLong, srcOf(p))
+        }.collect {
+          case (u, (sc, sn)) if u == 0 || !presentShift.contains(parent(u)) =>
+            (u, sc, sn)
+        }
+        val intRegions = shiftIntSrc.iterator.collect {
+          case (u, (sc, sn)) if u == 0 || !presentShift.contains(parent(u)) =>
+            (u, sc, sn)
+        }
+        if (!st.isCommitted("chunk_first", cid)) {
+          // driver-side full-buffer MD5 — byte-identical to fullBufferMd5's
+          // UTF-8 concat in position order
+          val md = java.security.MessageDigest.getInstance("MD5")
+          chunkStrs.foreach(c =>
+            md.update(c.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          st.commit("chunk_first", cid, firstDf,
+            Map("num_chunks" -> numChunks.toString,
+              "full_md5" -> md.digest().map("%02x".format(_)).mkString))
+        }
+        st.commit("chunk_shift", cid,
+          (leafRegions ++ intRegions).toSeq.toDF("node", "src_chkpt", "src_node"))
+      }
+
       sRecon += chunkStrs
       sPrev = digests
       res

@@ -289,4 +289,74 @@ class ChunkDedupSpec extends AnyFunSuite with SparkTestBase {
     for (cid <- snapshots.indices)
       assert(restartString(chain, cid, n) == snapshots(cid), s"checkpoint $cid")
   }
+
+  test("store-backed serial path: commits identical to the Spark path, jobs halved") {
+    // r6: store-backed chains <= SERIAL_MAX take the serial driver path and
+    // commit driver-built frames. Gate BOTH properties the promotion claims:
+    // (a) the committed chunk_first/chunk_shift tables + manifest metadata
+    // (num_chunks, full-buffer MD5) are identical to the forced Spark
+    // path's, so restartFromStore is path-agnostic; (b) the serial path
+    // runs at most HALF the Spark path's jobs per checkpoint (the ask's
+    // measured bound; in practice ~3 vs ~18).
+    val rnd = new scala.util.Random(13)
+    val n = 64
+    val alphabet = "ABCD"
+    var cur = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+    val steps = (0 until 3).map { i =>
+      if (i > 0) for (j <- 0 until n if rnd.nextDouble() < 0.2)
+        cur(j) = alphabet(rnd.nextInt(alphabet.length))
+      new String(cur)
+    }
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    }
+    def run(serialMax: Long): (String, Seq[Int]) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_serialstore_$serialMax").toString
+      val store = new graft.state.SnapshotStore(spark, root)
+      val chain = new ChunkDedup.Chain(spark, n.toLong,
+        store = Some(store), serialMax = serialMax)
+      val jobs = steps.map { s =>
+        val chunks = ChunkDedup.chunkify(spark, s, 1)
+        org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark.sparkContext)
+        val before = jobCounter.get()
+        chain.checkpoint(chunks)
+        org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark.sparkContext)
+        jobCounter.get() - before
+      }
+      (root, jobs)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val ((serRoot, serJobs), (spkRoot, spkJobs)) =
+      try (run(ChunkDedup.Chain.SERIAL_MAX), run(0L))
+      finally spark.sparkContext.removeSparkListener(listener)
+
+    val ser = new graft.state.SnapshotStore(spark, serRoot)
+    val spk = new graft.state.SnapshotStore(spark, spkRoot)
+    for (cid <- steps.indices) {
+      def rows(st: graft.state.SnapshotStore, t: String) =
+        st.read(t, cid).collect().map(_.toSeq).toSet
+      assert(rows(ser, "chunk_first") == rows(spk, "chunk_first"),
+        s"chunk_first $cid differs")
+      assert(rows(ser, "chunk_shift") == rows(spk, "chunk_shift"),
+        s"chunk_shift $cid differs")
+      def meta(st: graft.state.SnapshotStore, k: String) =
+        (s""""$k":\\s*"([^"]+)"""").r
+          .findFirstMatchIn(st.manifestJson("chunk_first", cid)).map(_.group(1))
+      for (k <- Seq("num_chunks", "full_md5"))
+        assert(meta(ser, k).nonEmpty && meta(ser, k) == meta(spk, k),
+          s"manifest $k $cid differs")
+      // file-only restart over the serial-committed store
+      val got = ChunkDedup.restartFromStore(spark, ser, cid).collect()
+        .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+      assert(got == steps(cid), s"restart($cid) from serial store")
+    }
+    for (cid <- steps.indices)
+      assert(serJobs(cid) * 2 <= spkJobs(cid),
+        s"checkpoint $cid: serial path ran ${serJobs(cid)} jobs vs Spark " +
+          s"path ${spkJobs(cid)} — not halved")
+  }
 }
