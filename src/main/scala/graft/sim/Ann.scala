@@ -105,10 +105,38 @@ object Ann {
       s
     }
     def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
-    def topCells(v: Array[Float], cs: Array[Array[Float]], n: Int): Array[Int] = {
+    /** Closest-n centroid indices by cosine (sim desc, index asc on ties —
+      * the stable-sort order of the previous form). Allocation-light: one
+      * sims array per row plus a selection loop, with centroid norms
+      * precomputed once per CALLER (the r5 form built a tuple Seq + sortBy
+      * and re-derived every centroid norm per ROW in the assign path).
+      */
+    def cellNorms(cs: Array[Array[Float]]): Array[Double] = cs.map(norm)
+    def topCells(v: Array[Float], cs: Array[Array[Float]],
+                 csNorms: Array[Double], n: Int): Array[Int] = {
       val nv = norm(v)
-      cs.indices.map(c => c -> (if (nv == 0) 0.0 else dot(v, cs(c)) / (nv * norm(cs(c)))))
-        .sortBy(-_._2).take(n).map(_._1).toArray
+      val sims = new Array[Double](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        sims(c) = if (nv == 0) 0.0 else dot(v, cs(c)) / (nv * csNorms(c))
+        c += 1
+      }
+      val out = new Array[Int](math.min(n, cs.length))
+      val used = new Array[Boolean](cs.length)
+      var i = 0
+      while (i < out.length) {
+        var best = -1; var bs = Double.NegativeInfinity
+        var j = 0
+        while (j < sims.length) {
+          if (!used(j) && sims(j) > bs) { best = j; bs = sims(j) }
+          j += 1
+        }
+        if (best < 0) { // all remaining NaN (degenerate centroids): first unused
+          best = 0; while (used(best)) best += 1
+        }
+        used(best) = true; out(i) = best; i += 1
+      }
+      out
     }
 
     // Quantizer training. Small corpora (≤ LOCAL_KMEANS_MAX vectors) train
@@ -129,10 +157,11 @@ object Ann {
         var cs = localProbe.sortBy(_._1).take(nCells).map(_._2)
         for (_ <- 0 until iters if cs.nonEmpty) {
           val dim = cs(0).length
+          val csN = cellNorms(cs)
           val sums = Array.fill(nCells)(new Array[Double](dim))
           val counts = new Array[Long](nCells)
           for ((_, v) <- localProbe) {
-            val c = topCells(v, cs, 1)(0)
+            val c = topCells(v, cs, csN, 1)(0)
             counts(c) += 1
             var p = 0
             while (p < dim) { sums(c)(p) += v(p); p += 1 }
@@ -151,9 +180,10 @@ object Ann {
         var cs = vecs.orderBy("id").take(nCells).map(_._2)
         for (_ <- 0 until iters) {
           val bc = spark.sparkContext.broadcast(cs)
-          val assigned = vecs.mapPartitions(_.map { case (id, v) =>
-            (topCells(v, bc.value, 1)(0), id, v)
-          }).toDF("cell", "id", "v")
+          val assigned = vecs.mapPartitions { it =>
+            val csN = cellNorms(bc.value) // once per partition, not per row
+            it.map { case (id, v) => (topCells(v, bc.value, csN, 1)(0), id, v) }
+          }.toDF("cell", "id", "v")
           // element-wise mean per cell — pure DataFrame aggregation
           val means = assigned
             .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -173,9 +203,10 @@ object Ann {
       }
 
     val bc = spark.sparkContext.broadcast(centroids)
-    val index = vecs.mapPartitions(_.map { case (id, v) =>
-      (topCells(v, bc.value, 1)(0), id, v)
-    }).toDF("cell", "nbr", "nv")
+    val index = vecs.mapPartitions { it =>
+      val csN = cellNorms(bc.value)
+      it.map { case (id, v) => (topCells(v, bc.value, csN, 1)(0), id, v) }
+    }.toDF("cell", "nbr", "nv")
     // Column-form restriction (not a typed lambda): stays codegen'd and
     // pushes into the parquet scan — at corpus scale the probe side reads
     // |queryIds| rows, not the corpus (PlanQualitySpec gates the pushdown,
@@ -184,9 +215,11 @@ object Ann {
       if (queryIds.isEmpty) vecs
       else vecs.filter(col("id").isInCollection(queryIds))
         .as[(Long, Array[Float])]
-    val probes = qvecs.mapPartitions(_.flatMap { case (id, v) =>
-      topCells(v, bc.value, nProbe).iterator.map(c => (c, id, v))
-    }).toDF("cell", "qid", "qv")
+    val probes = qvecs.mapPartitions { it =>
+      val csN = cellNorms(bc.value)
+      it.flatMap { case (id, v) =>
+        topCells(v, bc.value, csN, nProbe).iterator.map(c => (c, id, v)) }
+    }.toDF("cell", "qid", "qv")
     val sims = probes.join(index, "cell")
       .filter(col("qid") =!= col("nbr"))
       .select(col("qid"), col("nbr"),
