@@ -242,6 +242,8 @@ object SparkEntry {
     s"/tmp/graft_oracle/simhash_docs_${sfTag(dir)}_v1"
   private def simhashPagesPath(dir: String): String =
     s"/tmp/graft_oracle/simhash_pages_${sfTag(dir)}_v1"
+  private def distinctShinglesPath(dir: String): String =
+    s"/tmp/graft_oracle/distinct_shingles_${sfTag(dir)}_v1"
 
   /** Dump DRIVER-computed SimHash fingerprints for an (id, text) frame —
     * pure-Scala Impl.simhash64 on collected rows, an execution path with no
@@ -673,7 +675,36 @@ object SparkEntry {
     // Typed Aggregator (§2.11): per-source distinct-shingle estimate via
     // MinHash signature union (partial+final agg, no set materialization) —
     // rows-only (sketch estimate; exactness asserted in tests vs oracle).
-    "source_distinct_shingles" -> ((s, dir) => distinctShingleEstFrame(s, dir)),
+    // Per-source distinct-shingle estimate. Oracle (promoted from rows-only
+    // r6): the SAME k-min union estimate computed DRIVER-pure — per-doc
+    // Impl.shingles→minhashArr, slot-min union fold, the finish() estimator
+    // — dumped once and read back by DuckDB. The distributed codegen'd
+    // kernel + udaf partial/final aggregation must agree with the driver
+    // computation per source, exactly (mins and the slot-ordered finish sum
+    // are order-independent, so the estimate is deterministic). Empty
+    // shingle sets contribute all-MaxValue sigs on both sides; null texts
+    // are skipped on both (null sig → reduce no-op).
+    "source_distinct_shingles" -> ((s, dir) => {
+      dumpOnce({
+        import s.implicits._
+        docs(s, dir).select("source", "text").collect()
+          .groupBy(_.getString(0)).toSeq.map { case (src, rs) =>
+            var buf = Array.emptyLongArray
+            rs.foreach { r =>
+              if (!r.isNullAt(1))
+                buf = graft.functions.MinHashUnionAgg.reduce(buf,
+                  scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                    graft.functions.Impl.minhashArr(
+                      graft.functions.Impl.shingles(
+                        org.apache.spark.unsafe.types.UTF8String
+                          .fromString(r.getString(1)), cfg.shingleK).toIntArray(),
+                      cfg.numPerm, cfg.seed)))
+            }
+            (src, graft.functions.MinHashUnionAgg.finish(buf))
+          }.toDF("source", "est_distinct")
+      }, distinctShinglesPath(dir))
+      distinctShingleEstFrame(s, dir)
+    }),
 
     // Sketch-accuracy gate: the MinHash-union distinct estimate must land
     // within ±25% (the 3σ bound at 128 perms, spec-asserted) of the EXACT
@@ -1435,6 +1466,11 @@ object SparkEntry {
     "sketch_distinct_gate" ->
       """SELECT count(DISTINCT source) AS n_sources,
         |       CAST(1 AS BIGINT) AS all_within_tolerance FROM documents""".stripMargin,
+    // driver-pure k-min union estimate, dumped by the query itself — the
+    // distributed kernel+udaf must reproduce it per source exactly
+    "source_distinct_shingles" ->
+      s"""SELECT source, est_distinct FROM read_parquet(
+         |  '${distinctShinglesPath("/root/testdata/sf0.01")}/*.parquet')""".stripMargin,
     "ann_ivf_recall" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok",
     // hash-kernel gates: n_docs is the real corpus count; the flags pin
