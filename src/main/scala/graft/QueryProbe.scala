@@ -15,6 +15,7 @@ object QueryProbe {
     val rows = df.count()
     println(f"[queryprobe] $name @ $sfDir: $rows rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     if (rows <= 20) df.collect().foreach(r => println(s"[queryprobe]   $r"))
-    spark.stop()
+    SparkEntry.releaseSessionCaches(spark) // one-consumer session: close the
+    spark.stop()                           // pipeline instead of pinning it
   }
 }

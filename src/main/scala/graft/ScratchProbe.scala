@@ -22,6 +22,7 @@ object ScratchProbe {
       val rows = SparkEntry.queries(q)(spark, sfDir).count()
       println(f"[scratchprobe] $q rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    SparkEntry.releaseSessionCaches(spark)
     spark.stop()
   }
 }

@@ -191,6 +191,20 @@ object SparkEntry {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Release a session's shared caches (ADVICE r5 #4): closes a pending
+    * pipeline — a one-consumer session (ad-hoc QueryProbe, partial verify)
+    * otherwise keeps its ~10⁸ B of persisted frames pinned for the session's
+    * lifetime waiting for the second named consumer — and forgets the
+    * memoized small frames so a long-lived session can rebuild fresh.
+    * The bench/verify sessions never need this (they run both pipeline
+    * consumers and end); dev mains call it before stop().
+    */
+  def releaseSessionCaches(s: SparkSession): Unit = {
+    pipelineCache.keySet.filter(_._1 eq s).foreach(k =>
+      pipelineCache.remove(k).foreach(_._1.close()))
+    frameCache.keySet.filter(_._1 eq s).foreach(frameCache.remove)
+  }
+
   /** Multimodal decode-features frame shared by `mm_decode_features` and
     * `mm_contract_gate` (identical plan, built once per session).
     */
