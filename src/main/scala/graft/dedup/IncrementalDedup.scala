@@ -37,16 +37,18 @@ import graft.state.SnapshotStore
   * resumability; per-partition lineage lands in each stage manifest).
   */
 object IncrementalDedup {
-  /** Accumulated-content threshold for the driver-local candidate kernel:
-    * 64k contents × 52 probe keys ≈ 3.4M (Long, Long) rows. Honest JVM
-    * footprint at the threshold (this number SIZES the constant): ~110 MB
-    * for the collected specialized-Tuple2 arrays (~32 B each), plus
-    * ~100–200 MB transient for boundedProbePairsLocal's LongMap of boxed
-    * ArrayBuffer[Long]s and the collect()'s Row decoding — several hundred
-    * MB peak on the 8 g driver heap, comfortably bounded but NOT the 16 B/row
-    * of a primitive array (r5's comment undercounted 4–8×). Beyond the
-    * threshold the fused distributed kernel takes over (a 100-TB chain
-    * crosses this in snapshot 0).
+  /** Accumulated-content threshold for the driver-local candidate kernel.
+    * Honest JVM footprint at the threshold (this number SIZES the
+    * constant; r6 layout — features collected with primitive encoders,
+    * keys derived driver-side, probe state in parallel long arrays,
+    * boundedProbePairsLocalP): 64k contents × 1 KB signature ≈ 70 MB for
+    * the collected feature rows (freed before the kernel runs), 64k × 52
+    * keys × 16 B ≈ 55 MB for the two key/element long arrays, plus the
+    * LongMap bucket buffers (~55 MB of unboxed Long ArrayBuffers) and the
+    * emitted candidate tuples (bounded by candidates, not keys) —
+    * ~200 MB transient peak on the 8 g driver heap. Beyond the threshold
+    * the fused distributed kernel takes over (a 100-TB chain crosses this
+    * in snapshot 0).
     */
   final val LOCAL_PROBE_MAX_CONTENTS: Long = 1L << 16
 }
@@ -191,17 +193,40 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
       val cand = (
         if (nContents <= IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS) {
           import spark.implicits._
-          def kv(df: DataFrame): Array[(Long, Long)] =
-            df.collect().map(r => (r.getLong(0), r.getLong(1)))
-          val nk = kv(newE.select(col("key"), col("e")))
-          val ok =
-            if (snap == 0) Array.empty[(Long, Long)]
-            else kv(keysOf(store.readRange("content", 0, snap - 1))
-              .select(col("key"), col("ckey")))
+          // collect the FEATURES (≤64k rows) and derive the ~52 probe keys
+          // per content DRIVER-side through the same Impl kernels the
+          // distributed keysOf evaluates (bandHashesArr / simhashKeys — a
+          // codegen-vs-driver drift is pinned by their KAT gates): one
+          // small primitive-decoding collect instead of a 3.4M-row exploded
+          // Row collect at the threshold, and the probe state really is two
+          // long arrays per side (boundedProbePairsLocalP). NULL features
+          // (empty-text contents) contribute zero keys on both paths.
+          def featKv(features: DataFrame): (Array[Long], Array[Long]) = {
+            val rows = features.select(col("ckey"), col("sig"), col("sim64"))
+              .as[(Long, Option[Array[Long]], Option[Long])].collect()
+            val ks = new scala.collection.mutable.ArrayBuilder.ofLong
+            val es = new scala.collection.mutable.ArrayBuilder.ofLong
+            for ((ck, sig, sim) <- rows) {
+              for (s <- sig; k <- graft.functions.Impl.bandHashesArr(s, cfg.bands)) {
+                ks += k; es += ck
+              }
+              for (sm <- sim; k <- graft.functions.Impl
+                  .simhashKeys(sm, cfg.simhashBlocks, cfg.simhashMaxHamming)
+                  .toLongArray()) {
+                ks += k; es += ck
+              }
+            }
+            (ks.result(), es.result())
+          }
+          val (nks, nes) = featKv(newFeatures)
+          val (oks, oes) =
+            if (snap == 0) (Array.emptyLongArray, Array.emptyLongArray)
+            else featKv(store.readRange("content", 0, snap - 1))
           // parallelize (not a local relation): the pair array splits into
           // normal-sized tasks for the downstream distinct + verify joins
           spark.sparkContext.parallelize(
-            MinHashLSH.boundedProbePairsLocal(nk, ok, cfg.maxBucket).toSeq,
+            MinHashLSH.boundedProbePairsLocalP(nks, nes, oks, oes,
+              cfg.maxBucket).toSeq,
             math.max(1, spark.sparkContext.defaultParallelism / 4))
             .toDF("p", "q")
         } else if (snap == 0)

@@ -189,18 +189,39 @@ object MinHashLSH {
     */
   def boundedProbePairsLocal(newRows: Array[(Long, Long)],
                              oldRows: Array[(Long, Long)],
-                             maxBucket: Int): Array[(Long, Long)] = {
+                             maxBucket: Int): Array[(Long, Long)] =
+    boundedProbePairsLocalP(
+      newRows.map(_._1), newRows.map(_._2),
+      oldRows.map(_._1), oldRows.map(_._2), maxBucket)
+
+  /** Primitive-parallel-array core of [[boundedProbePairsLocal]] (r6): the
+    * caller keeps keys and elements in two long arrays, so the collected
+    * probe state really is ~16 B/row — the arithmetic
+    * IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS documents — instead of boxed
+    * Tuple2 rows. The tuple form above delegates here, so the
+    * BoundedBucketSpec parity gates cover both entry points.
+    */
+  def boundedProbePairsLocalP(newKeys: Array[Long], newEs: Array[Long],
+                              oldKeys: Array[Long], oldEs: Array[Long],
+                              maxBucket: Int): Array[(Long, Long)] = {
+    require(newKeys.length == newEs.length && oldKeys.length == oldEs.length)
     val byKey = scala.collection.mutable.LongMap
       .empty[(scala.collection.mutable.ArrayBuffer[Long],
               scala.collection.mutable.ArrayBuffer[Long])] // (old, new)
-    for ((k, e) <- oldRows)
-      byKey.getOrElseUpdate(k,
+    var i = 0
+    while (i < oldKeys.length) {
+      byKey.getOrElseUpdate(oldKeys(i),
         (scala.collection.mutable.ArrayBuffer.empty,
-          scala.collection.mutable.ArrayBuffer.empty))._1 += e
-    for ((k, e) <- newRows)
-      byKey.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty))._1 += oldEs(i)
+      i += 1
+    }
+    i = 0
+    while (i < newKeys.length) {
+      byKey.getOrElseUpdate(newKeys(i),
         (scala.collection.mutable.ArrayBuffer.empty,
-          scala.collection.mutable.ArrayBuffer.empty))._2 += e
+          scala.collection.mutable.ArrayBuffer.empty))._2 += newEs(i)
+      i += 1
+    }
     val out = Array.newBuilder[(Long, Long)]
     for ((_, (olds, news)) <- byKey if news.nonEmpty
          && olds.length + news.length > 1) {
