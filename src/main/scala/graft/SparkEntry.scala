@@ -258,6 +258,104 @@ object SparkEntry {
     s"/tmp/graft_oracle/simhash_pages_${sfTag(dir)}_v1"
   private def distinctShinglesPath(dir: String): String =
     s"/tmp/graft_oracle/distinct_shingles_${sfTag(dir)}_v1"
+  private def annLshPath(dir: String): String =
+    s"/tmp/graft_oracle/ann_lsh_topk_${sfTag(dir)}_v1"
+  private def annIvfPath(dir: String): String =
+    s"/tmp/graft_oracle/ann_ivf_topk_${sfTag(dir)}_v1"
+
+  /** Spark `round(x, 6)` semantics: HALF_UP decimal rounding on double. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Driver-pure replications of the PINNED-config approximate top-k
+    * queries, dumped once per (machine, sf) as their DuckDB oracles
+    * (promoted from rows-only in r6). Execution independence: the dumps run
+    * the whole pipeline — SRP bucketing / k-means training / cell
+    * assignment / candidate generation / cosine re-rank / windowed top-k —
+    * as plain driver loops over one collected embedding array; only the
+    * pure JVM kernels (Impl.srpBucket, Impl.cosineF, Ann's IVF kernels) are
+    * shared with the distributed query, which is what makes float-exact
+    * agreement a sound expectation rather than luck (same functions, same
+    * operand order; cosine is direction-symmetric because the products and
+    * their summation order are identical either way). Bounded: one ≤64k-row
+    * embedding collect — oracle machinery, not a query path.
+    */
+  private def annVecs(s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
+    import s.implicits._
+    emb(s, dir).select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+  }
+  private def ad(v: Array[Float]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  private def rankRows(nbrs: scala.collection.Map[Long, Seq[(Long, Double)]],
+                       k: Int): Seq[(Long, Long, Double, Long)] =
+    nbrs.toSeq.flatMap { case (qid, lst) =>
+      lst.sortBy { case (n, sim) => (-sim, n) }.take(k).zipWithIndex
+        .map { case ((nbr, sim), i) => (qid, nbr, sim, (i + 1).toLong) }
+    }
+  private def dumpAnnLshOnce(s: SparkSession, dir: String): Unit =
+    dumpOnce({
+      import s.implicits._
+      val c = graft.sim.Ann.PinnedLsh
+      val (k, maxBucket) = (5, 256) // lshTopK's pinned call + default cap
+      val vecs = annVecs(s, dir)
+      val byId = vecs.toMap
+      val groups = scala.collection.mutable.HashMap
+        .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Long]]
+      for ((id, v) <- vecs; t <- 0 until c.tables)
+        groups.getOrElseUpdate(
+          (t, graft.functions.Impl.srpBucket(ad(v), c.bits, c.seed + t)),
+          scala.collection.mutable.ArrayBuffer.empty) += id
+      // boundedBucketPairs contract: small buckets emit all pairs, hot
+      // buckets emit (min, e) stars; ids are unique per (table, bucket)
+      val pairs = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      for ((_, ids) <- groups if ids.length > 1) {
+        if (ids.length <= maxBucket) {
+          val ss = ids.sorted
+          for (i <- ss.indices; j <- i + 1 until ss.length)
+            pairs += ((ss(i), ss(j)))
+        } else {
+          val mn = ids.min
+          for (e <- ids if e != mn) pairs += ((mn, e))
+        }
+      }
+      val nbrs = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+      for ((a, b) <- pairs) {
+        val sim = round6(graft.functions.Impl.cosineF(ad(byId(a)), ad(byId(b))))
+        nbrs.getOrElseUpdate(a,
+          scala.collection.mutable.ArrayBuffer.empty) += ((b, sim))
+        nbrs.getOrElseUpdate(b,
+          scala.collection.mutable.ArrayBuffer.empty) += ((a, sim))
+      }
+      rankRows(nbrs.view.mapValues(_.toSeq).toMap, k)
+        .toDF("qid", "nbr", "sim", "rk")
+    }, annLshPath(dir))
+  private def dumpAnnIvfOnce(s: SparkSession, dir: String): Unit =
+    dumpOnce({
+      import s.implicits._
+      val c = graft.sim.Ann.PinnedIvf
+      val k = 5
+      val vecs = annVecs(s, dir)
+      val centroids = graft.sim.Ann.trainLocalKmeans(vecs, c.nCells, 3)
+      val csN = graft.sim.Ann.cellNorms(centroids)
+      val members = scala.collection.mutable.HashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+      for ((id, v) <- vecs)
+        members.getOrElseUpdate(graft.sim.Ann.topCells(v, centroids, csN, 1)(0),
+          scala.collection.mutable.ArrayBuffer.empty) += ((id, v))
+      val nbrs = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+      for ((qid, qv) <- vecs;
+           cell <- graft.sim.Ann.topCells(qv, centroids, csN, c.nProbe);
+           (nbr, nv) <- members.getOrElse(cell, Nil) if nbr != qid)
+        nbrs.getOrElseUpdate(qid,
+          scala.collection.mutable.ArrayBuffer.empty) +=
+          ((nbr, round6(graft.functions.Impl.cosineF(ad(qv), ad(nv)))))
+      rankRows(nbrs.view.mapValues(_.toSeq).toMap, k)
+        .toDF("qid", "nbr", "sim", "rk")
+    }, annIvfPath(dir))
 
   /** Dump DRIVER-computed SimHash fingerprints for an (id, text) frame —
     * pure-Scala Impl.simhash64 on collected rows, an execution path with no
@@ -773,12 +871,27 @@ object SparkEntry {
     // Similarity search, scale path: SRP-LSH bucketed ANN — rows-only; the
     // config is the SAME pinned one the ann_lsh_recall gate validates
     // (Ann.PinnedLsh), so the benched path is the recall-proven one.
-    "ann_topk_lsh" -> ((s, dir) => lshTopKFrame(s, dir)),
+    // Oracle (promoted r6): the whole SRP-bucket → candidate → re-rank
+    // pipeline replayed driver-pure and dumped (dumpAnnLshOnce); the
+    // distributed form must reproduce it row-exactly. rk cast long to match
+    // the dump (mirrors ann_topk_exact's oracle-driven cast).
+    "ann_topk_lsh" -> ((s, dir) => {
+      dumpAnnLshOnce(s, dir)
+      lshTopKFrame(s, dir).select(col("qid"), col("nbr"), col("sim"),
+        col("rk").cast("long").as("rk"))
+    }),
 
     // Similarity search, IVF scale path: k-means coarse quantizer + cell
     // probes — rows-only; config shared with the ann_ivf_recall gate
     // (Ann.PinnedIvf).
-    "ann_topk_ivf" -> ((s, dir) => ivfTopKFrame(s, dir)),
+    // Oracle (promoted r6): k-means training (shared deterministic kernel,
+    // ascending-id float-sum order), cell assignment, nProbe probing and
+    // re-rank replayed driver-pure (dumpAnnIvfOnce).
+    "ann_topk_ivf" -> ((s, dir) => {
+      dumpAnnIvfOnce(s, dir)
+      ivfTopKFrame(s, dir).select(col("qid"), col("nbr"), col("sim"),
+        col("rk").cast("long").as("rk"))
+    }),
 
     // Multimodal: binary assets + stubbed batched decode — rows-only.
     // html bytes are a pure function of text (PagesGen.genRow), so the
@@ -1485,6 +1598,15 @@ object SparkEntry {
     "source_distinct_shingles" ->
       s"""SELECT source, est_distinct FROM read_parquet(
          |  '${distinctShinglesPath("/root/testdata/sf0.01")}/*.parquet')""".stripMargin,
+    // driver-pure replications of the pinned approximate-top-k pipelines
+    // (SRP-LSH and IVF), dumped by the queries themselves; the distributed
+    // forms must reproduce every (qid, nbr, sim, rk) row exactly
+    "ann_topk_lsh" ->
+      s"""SELECT qid, nbr, sim, rk FROM read_parquet(
+         |  '${annLshPath("/root/testdata/sf0.01")}/*.parquet')""".stripMargin,
+    "ann_topk_ivf" ->
+      s"""SELECT qid, nbr, sim, rk FROM read_parquet(
+         |  '${annIvfPath("/root/testdata/sf0.01")}/*.parquet')""".stripMargin,
     "ann_ivf_recall" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok",
     // hash-kernel gates: n_docs is the real corpus count; the flags pin

@@ -36,6 +36,87 @@ object Ann {
     */
   final val LOCAL_KMEANS_MAX: Int = 1 << 16
 
+  // ---- pure IVF kernels, shared by ivfTopK's execution paths AND the
+  // driver-pure oracle replication (SparkEntry ann_topk_ivf dump): the same
+  // JVM functions produce byte-identical floats, so only the EXECUTION
+  // (distributed assign/probe/rank vs driver loop) differs between the
+  // query and its oracle.
+  private[graft] def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+  private[graft] def normF(a: Array[Float]): Double = math.sqrt(dotF(a, a))
+  private[graft] def cellNorms(cs: Array[Array[Float]]): Array[Double] =
+    cs.map(normF)
+
+  /** Closest-n centroid indices by cosine (sim desc, index asc on ties —
+    * the stable-sort order of the original form). Allocation-light: one
+    * sims array per row plus a selection loop, with centroid norms
+    * precomputed once per CALLER (the r5 form built a tuple Seq + sortBy
+    * and re-derived every centroid norm per ROW in the assign path).
+    */
+  private[graft] def topCells(v: Array[Float], cs: Array[Array[Float]],
+                              csNorms: Array[Double], n: Int): Array[Int] = {
+    val nv = normF(v)
+    val sims = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      sims(c) = if (nv == 0) 0.0 else dotF(v, cs(c)) / (nv * csNorms(c))
+      c += 1
+    }
+    val out = new Array[Int](math.min(n, cs.length))
+    val used = new Array[Boolean](cs.length)
+    var i = 0
+    while (i < out.length) {
+      var best = -1; var bs = Double.NegativeInfinity
+      var j = 0
+      while (j < sims.length) {
+        if (!used(j) && sims(j) > bs) { best = j; bs = sims(j) }
+        j += 1
+      }
+      if (best < 0) { // all remaining NaN (degenerate centroids): first unused
+        best = 0; while (used(best)) best += 1
+      }
+      used(best) = true; out(i) = best; i += 1
+    }
+    out
+  }
+
+  /** Deterministic driver-local k-means (seeding = lowest-id vectors;
+    * iteration in ascending-id order so the float sums are ORDER-PINNED —
+    * r6: the oracle replication reruns this verbatim; the pre-r6 form
+    * summed in collect order, the same jitter class the 1e-4 centroid
+    * rounding absorbs and the distributed-twin parity spec tolerates).
+    * An empty probe yields zero centroids.
+    */
+  private[graft] def trainLocalKmeans(probe: Array[(Long, Array[Float])],
+                                      nCells: Int,
+                                      iters: Int): Array[Array[Float]] = {
+    val sorted = probe.sortBy(_._1)
+    var cs = sorted.take(nCells).map(_._2)
+    for (_ <- 0 until iters if cs.nonEmpty) {
+      val dim = cs(0).length
+      val csN = cellNorms(cs)
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      for ((_, v) <- sorted) {
+        val c = topCells(v, cs, csN, 1)(0)
+        counts(c) += 1
+        var p = 0
+        while (p < dim) { sums(c)(p) += v(p); p += 1 }
+      }
+      cs = cs.indices.map { c =>
+        Array.tabulate(dim) { p =>
+          val m = if (counts(c) == 0) cs(c)(p).toDouble
+                  else sums(c)(p) / counts(c)
+          (math.rint(m * 1e4) / 1e4).toFloat
+        }
+      }.toArray
+    }
+    cs
+  }
+
   /** SRP bits as a function of corpus size — bits must track log2(n):
     * too many bits shatter true neighborhoods (AnnRecallProbe: bits=10 →
     * recall 0.02–0.07; even bits=6 × 12 tables drops to 0.49–0.53 on the
@@ -99,46 +180,6 @@ object Ann {
     val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
 
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
-      s
-    }
-    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
-    /** Closest-n centroid indices by cosine (sim desc, index asc on ties —
-      * the stable-sort order of the previous form). Allocation-light: one
-      * sims array per row plus a selection loop, with centroid norms
-      * precomputed once per CALLER (the r5 form built a tuple Seq + sortBy
-      * and re-derived every centroid norm per ROW in the assign path).
-      */
-    def cellNorms(cs: Array[Array[Float]]): Array[Double] = cs.map(norm)
-    def topCells(v: Array[Float], cs: Array[Array[Float]],
-                 csNorms: Array[Double], n: Int): Array[Int] = {
-      val nv = norm(v)
-      val sims = new Array[Double](cs.length)
-      var c = 0
-      while (c < cs.length) {
-        sims(c) = if (nv == 0) 0.0 else dot(v, cs(c)) / (nv * csNorms(c))
-        c += 1
-      }
-      val out = new Array[Int](math.min(n, cs.length))
-      val used = new Array[Boolean](cs.length)
-      var i = 0
-      while (i < out.length) {
-        var best = -1; var bs = Double.NegativeInfinity
-        var j = 0
-        while (j < sims.length) {
-          if (!used(j) && sims(j) > bs) { best = j; bs = sims(j) }
-          j += 1
-        }
-        if (best < 0) { // all remaining NaN (degenerate centroids): first unused
-          best = 0; while (used(best)) best += 1
-        }
-        used(best) = true; out(i) = best; i += 1
-      }
-      out
-    }
-
     // Quantizer training. Small corpora (≤ LOCAL_KMEANS_MAX vectors) train
     // driver-local: ONE collect replaces 2 jobs × iters of assign/mean
     // latency — probed with limit(MAX+1) so the decision itself costs at
@@ -146,35 +187,14 @@ object Ann {
     // with the serial chunk chain and the incremental probe kernel). The
     // 1e-4 rounding keeps both paths' centroids identical up to float
     // summation order, exactly as it absorbs Spark's partial-agg jitter.
+    // An EMPTY corpus short-circuits to zero centroids (the distributed
+    // branch degrades the same way through empty aggregations) — the
+    // assign/probe lambdas below then never run because there are no rows,
+    // and the result is an empty frame, not an exception.
     val localProbe = vecs.limit(localKmeansMax + 1).collect()
     val centroids: Array[Array[Float]] =
       if (localProbe.length <= localKmeansMax) {
-        // deterministic seeding: the nCells vectors with the smallest ids.
-        // An EMPTY corpus short-circuits to zero centroids (the distributed
-        // branch degrades the same way through empty aggregations) — the
-        // assign/probe lambdas below then never run because there are no
-        // rows, and the result is an empty frame, not an exception.
-        var cs = localProbe.sortBy(_._1).take(nCells).map(_._2)
-        for (_ <- 0 until iters if cs.nonEmpty) {
-          val dim = cs(0).length
-          val csN = cellNorms(cs)
-          val sums = Array.fill(nCells)(new Array[Double](dim))
-          val counts = new Array[Long](nCells)
-          for ((_, v) <- localProbe) {
-            val c = topCells(v, cs, csN, 1)(0)
-            counts(c) += 1
-            var p = 0
-            while (p < dim) { sums(c)(p) += v(p); p += 1 }
-          }
-          cs = cs.indices.map { c =>
-            Array.tabulate(dim) { p =>
-              val m = if (counts(c) == 0) cs(c)(p).toDouble
-                      else sums(c)(p) / counts(c)
-              (math.rint(m * 1e4) / 1e4).toFloat
-            }
-          }.toArray
-        }
-        cs
+        trainLocalKmeans(localProbe, nCells, iters)
       } else {
         // deterministic seeding: the nCells vectors with the smallest ids
         var cs = vecs.orderBy("id").take(nCells).map(_._2)
