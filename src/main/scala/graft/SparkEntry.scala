@@ -262,6 +262,8 @@ object SparkEntry {
     s"/tmp/graft_oracle/ann_lsh_topk_${sfTag(dir)}_v1"
   private def annIvfPath(dir: String): String =
     s"/tmp/graft_oracle/ann_ivf_topk_${sfTag(dir)}_v1"
+  private def lowrootPath(dir: String): String =
+    s"/tmp/graft_oracle/lowroot_labels_${sfTag(dir)}_v1"
 
   /** Spark `round(x, 6)` semantics: HALF_UP decimal rounding on double. */
   private def round6(x: Double): Double =
@@ -378,6 +380,36 @@ object SparkEntry {
             org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))))
       }.toDF("doc_id", "sim64")
     }, path)
+
+  /** The low-root fixture's two checkpoint strings (shared by the query and
+    * its oracle dump — one derivation, no drift).
+    */
+  private def lowrootSteps(s: SparkSession, dir: String): (String, String) = {
+    val texts = docs(s, dir).orderBy("doc_id").limit(2)
+      .select("text").collect().map(_.getString(0))
+    val len = math.min(256, math.min(texts(0).length, 128 + texts(1).length))
+    (texts(0).take(len), (texts(0).take(128) + texts(1)).take(len))
+  }
+
+  /** Driver-pure replay of the low-root election chain
+    * ([[graft.dedup.TreeLowRoot.replayChain]]: pure-JVM murmur digests +
+    * the serial elect core — no Spark codegen/distribution in the path),
+    * dumped once per (machine, sf) as `chunk_lowroot_labels`' DuckDB oracle
+    * (promoted from rows-only r6: the order-sensitive pruning fixpoint is
+    * not SQL-expressible, but the dump pattern needs no SQL replay — DuckDB
+    * compares the query's labels against an independently-executed chain).
+    */
+  private def dumpLowRootOnce(s: SparkSession, dir: String): Unit =
+    dumpOnce({
+      import s.implicits._
+      val (step0, step1) = lowrootSteps(s, dir)
+      def cb(t: String): Array[Array[Byte]] = t.grouped(1)
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+      val labels = graft.dedup.TreeLowRoot.replayChain(Seq(cb(step0), cb(step1))).last
+      // leaf node ids as the query emits them: numChunks-1 + pos (chunk=1)
+      labels.zipWithIndex.map { case (l, pos) => (step1.length - 1L + pos, l) }
+        .toSeq.toDF("node", "label")
+    }, lowrootPath(dir))
 
   /** The incremental query's two deterministic snapshots: snap0 = first n
     * docs; snap1 = n + n/10 docs with every 37th pre-existing doc revised.
@@ -525,15 +557,15 @@ object SparkEntry {
 
     // J3 TreeLowRoot election over the same derived checkpoint pair, run on
     // the DISTRIBUTED chain (Spark labeling + thin-sweep forest; driver
-    // pruning over the fresh forest only). Rows-only: the order-sensitive
-    // pruning fixpoint is not SQL-expressible; label parity vs the serial
-    // golden core is spec-gated (TreeLowRootSpec) at 4096 chunks.
+    // pruning over the fresh forest only). Oracle (promoted r6): the
+    // order-sensitive pruning fixpoint is not SQL-expressible, but the
+    // chain is replayed DRIVER-PURE (TreeLowRoot.replayChain — pure-JVM
+    // murmur digests + the serial elect core, no Spark in the path) and
+    // dumped; DuckDB compares every (node, label) row. Distributed-vs-serial
+    // parity at 4096 chunks is additionally spec-gated (TreeLowRootSpec).
     "chunk_lowroot_labels" -> ((s, dir) => {
-      val texts = docs(s, dir).orderBy("doc_id").limit(2)
-        .select("text").collect().map(_.getString(0))
-      val len = math.min(256, math.min(texts(0).length, 128 + texts(1).length))
-      val step0 = texts(0).take(len)
-      val step1 = (texts(0).take(128) + texts(1)).take(len)
+      dumpLowRootOnce(s, dir)
+      val (step0, step1) = lowrootSteps(s, dir)
       val chain = new graft.dedup.TreeLowRoot.DistChain(s, step0.length.toLong)
       chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step0, 1))
       chain.checkpoint(graft.dedup.ChunkDedup.chunkify(s, step1, 1)).labels
@@ -1590,6 +1622,12 @@ object SparkEntry {
          |SELECT x.doc_id AS a, y.doc_id AS b
          |FROM f x JOIN f y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.sim64, y.sim64)) <= ${cfg.simhashMaxHamming}""".stripMargin,
+    // driver-pure low-root chain replay, dumped by the query itself — the
+    // chain (codegen murmur128 digests, chunkify, FIRST_DUPL forest, the
+    // pruning fixpoint + election) must reproduce every leaf label exactly
+    "chunk_lowroot_labels" ->
+      s"""SELECT node, label FROM read_parquet(
+         |  '${lowrootPath("/root/testdata/sf0.01")}/*.parquet')""".stripMargin,
     "sketch_distinct_gate" ->
       """SELECT count(DISTINCT source) AS n_sources,
         |       CAST(1 AS BIGINT) AS all_within_tolerance FROM documents""".stripMargin,

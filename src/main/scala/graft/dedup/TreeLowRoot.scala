@@ -190,6 +190,26 @@ object TreeLowRoot {
     winners.toMap
   }
 
+  /** Driver-pure chain replay over raw chunk bytes — ORACLE machinery (no
+    * Spark in the execution path: digests via the pure-JVM murmur kernel,
+    * labels via [[elect]]'s serial core). Returns each checkpoint's leaf
+    * labels by position. SparkEntry dumps the replay so the DuckDB oracle
+    * can pin `chunk_lowroot_labels` row-exactly: a drift anywhere in the
+    * query's path (codegen murmur128, chunkify, chain wiring, the
+    * distributed sweep when it engages) turns the driver row red.
+    */
+  def replayChain(steps: Seq[Array[Array[Byte]]]): Seq[Array[String]] = {
+    val global = new java.util.HashSet[Digest]()
+    var prev: Option[Array[Array[Byte]]] = None
+    steps.map { chunkBytes =>
+      val ds = chunkBytes.map(graft.functions.Impl.murmur128Digest)
+      val (labels, winners) = elect(ds, prev, global.contains)
+      winners.keysIterator.foreach(global.add)
+      prev = Some(ds)
+      labels
+    }
+  }
+
   object DistChain {
     /** Checkpoints up to this many chunks dispatch to the serial [[Chain]]
       * (output-identical, spec-gated): the distributed sweep pays ~log n

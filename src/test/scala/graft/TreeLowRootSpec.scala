@@ -104,6 +104,24 @@ class TreeLowRootSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("driver-pure replayChain matches the Spark chain label-for-label (oracle soundness)") {
+    // the dump oracle for chunk_lowroot_labels rests on this parity: the
+    // pure-JVM replay (Impl.murmur128Digest + serial elect, zero Spark)
+    // must agree with the chain the query runs, on a fixture that exercises
+    // FIXED/SHIFT/forest/pruning across three checkpoints
+    val steps = Seq("abcdabcdxyzw" * 16, ("abcdabcdQRSw" * 16), ("QQQQabcdxyzw" * 16))
+    def cb(t: String): Array[Array[Byte]] =
+      t.grouped(1).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    val replay = TreeLowRoot.replayChain(steps.map(cb))
+    val chain = new TreeLowRoot.Chain(spark, steps.head.length.toLong)
+    for ((t, labels) <- steps.zip(replay)) {
+      val r = chain.checkpoint(ChunkDedup.chunkify(spark, t, 1))
+      val expect = labels.zipWithIndex
+        .map { case (l, pos) => (steps.head.length - 1L + pos) -> l }.toMap
+      assert(labelsOf(r) == expect)
+    }
+  }
+
   test("cross-checkpoint map: elected digests probe as SHIFT later") {
     val chain = new TreeLowRoot.Chain(spark, 4L)
     chain.checkpoint(ChunkDedup.chunkify(spark, "aycd", 1))
