@@ -97,7 +97,23 @@ object GraftSession {
     }
   }
 
-  /** Table loader for the driver-provided testdata directory. */
+  /** Table loader for the driver-provided testdata directory — memoized per
+    * (session, path): `spark.read.parquet` fires a schema-inference job at
+    * CALL time, so a 46-query bench session re-reading `documents.parquet`
+    * from dozens of query bodies would pay dozens of tiny driver jobs for
+    * the same immutable file (pure scheduling latency under load; the
+    * IncProbe job-site dump is where this showed up for the snapshot
+    * store). The memo holds analyzed logical plans only — no pinned blocks,
+    * a few KB per (session, table).
+    */
+  private val tableCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readParquet(spark, s"$sfDir/$name.parquet")
+
+  /** Memoized immutable-path parquet read (see [[table]]). Only for paths
+    * whose contents never change within a session (testdata, oracle dumps).
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, path), spark.read.parquet(path))
 }

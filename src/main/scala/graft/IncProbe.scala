@@ -28,15 +28,39 @@ object IncProbe {
       .select("url", "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpus.count() // generation excluded from the timed sections
+    // job/stage counts are DETERMINISTIC (weather-independent) — the
+    // latency floor of a tiny-input snapshot is ~jobs × scheduling latency,
+    // so these are the attributable numbers when wall seconds are noisy
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+        sites.add(Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("?") + " @ " + j.stageInfos.map(_.name.takeWhile(_ != '\n'))
+          .mkString("; ").take(120))
+      }
+    })
     println(s"[probe] depth=$depth n=$n step=$step compactEvery=$compactEvery")
     for (snap <- 0 until depth) {
       val df = corpus.filter(col("doc_id") < n + snap * step)
         .withColumn("text", when(col("doc_id") % 37 === 0 && col("doc_id") < n,
           concat(col("text"), lit(s" rev$snap"))).otherwise(col("text")))
       val t0 = System.nanoTime()
+      val (j0, s0) = (jobs.get, stages.get)
       inc.processSnapshot(snap, df, expectedPages = Some(n + snap * step)).count()
+      org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark.sparkContext)
       val total = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] snapshot $snap total $total%.2f s")
+      println(f"[probe] snapshot $snap total $total%.2f s " +
+        s"jobs=${jobs.get - j0} stages=${stages.get - s0}")
+      if (sys.env.contains("SPARK_GRAFT_INC_JOBSITES")) {
+        import scala.jdk.CollectionConverters._
+        sites.asScala.zipWithIndex.foreach { case (s, i) =>
+          println(s"[probe]   job#$i $s") }
+        sites.clear()
+      } else sites.clear()
       for (t <- Seq("pages_keyed", "content", "edges", "assignments", "metrics")
            if store.isCommitted(t, snap)) {
         val j = store.manifestJson(t, snap)

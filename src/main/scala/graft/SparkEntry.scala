@@ -15,11 +15,11 @@ import graft.functions.gf
 object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    GraftSession.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    GraftSession.table(s, dir, "embeddings")
   private def lineitem(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    GraftSession.table(s, dir, "lineitem")
 
   /** Number of synthetic pages for a given testdata dir (SF-scaled). */
   def pagesN(dir: String): Long = {
@@ -40,7 +40,7 @@ object SparkEntry {
         partitions = s.sparkContext.defaultParallelism * 2)
         .select("doc_id", "text", "url"), // url: lets incSnapshots derive
       path)                               // from this dump (v2 schema)
-    s.read.parquet(path)
+    GraftSession.readParquet(s, path) // memoized: one inference per session
   }
 
   /** One near-dup pipeline per (session, sf): `pages_neardup_pairs` and

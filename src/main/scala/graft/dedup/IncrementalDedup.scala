@@ -91,7 +91,11 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // DERIVED, never committed: both inputs (this and the previous
     // snapshot's pages_keyed) are committed stages, so the anti-join is
     // deterministic on resume — and at scale `changed` is the per-snapshot
-    // WORK SET, the one table worth NOT writing a second copy of.
+    // WORK SET, the one table worth NOT writing a second copy of. It IS
+    // persisted for the snapshot's duration (snap > 0): two consumers —
+    // the registration anti-join under the content stage and the metrics
+    // stage's A3 count — would otherwise each run the full anti-join; the
+    // cache makes the second a narrow scan. Unpersisted before return.
     val changed =
       if (snap == 0) keyed.select("url", "doc_id", "ckey")
       else {
@@ -101,6 +105,7 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
           .join(prev, Seq("url"), "left")
           .filter(col("prev_ckey").isNull || col("prev_ckey") =!= col("ckey"))
           .drop("prev_ckey")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
 
     // Content registry (J1 insert-if-absent) + fused features in ONE
@@ -297,6 +302,10 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // table's 0..snap prefix into one compacted snapshot, so a depth-100
     // chain's readRange unions ≤ compactEvery scans instead of 100
     // (SnapshotStore.compactUpTo is idempotent — resume-safe like a stage)
+    // metrics was `changed`'s last consumer (nothing after this point — or
+    // returned — depends on it)
+    if (snap > 0) changed.unpersist()
+
     if (compactEvery > 0 && (snap + 1) % compactEvery == 0)
       Seq("content", "edges").foreach(t => store.compactUpTo(t, snap))
 

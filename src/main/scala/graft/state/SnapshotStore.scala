@@ -95,6 +95,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
          | "num_partitions": ${lineage.length}, "write_ms": $ms,
          | "partitions": [${lineage.mkString(", ")}],
          | "meta": {$metaJson}}""".stripMargin
+    // schema travels with the snapshot (Iceberg keeps it in table metadata):
+    // read() supplies it explicitly, so no committed snapshot ever pays a
+    // parquet schema-inference JOB — at toy scale those listing jobs were
+    // ~25% of the incremental path's job count (IncProbe job sites), and at
+    // scale a footer-sampling job per read is pure waste. asNullable:
+    // the writer may relax nullability; a nullable reader schema is always
+    // safe to project.
+    val nullableSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true)))
+    Files.write(tmp.resolve("_SCHEMA.json"),
+      nullableSchema.json.getBytes(StandardCharsets.UTF_8))
     Files.write(tmp.resolve("_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -102,7 +113,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def read(table: String, snap: Int): DataFrame = {
     require(isCommitted(table, snap), s"$table/snapshot=$snap not committed")
     nReads.incrementAndGet()
-    spark.read.parquet(dir(table, snap).toString)
+    val schemaFile = dir(table, snap).resolve("_SCHEMA.json")
+    val reader =
+      if (Files.exists(schemaFile)) // committed schema ⇒ zero-job read
+        spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(
+          new String(Files.readAllBytes(schemaFile), StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else spark.read // pre-schema store layout: infer as before
+    reader.parquet(dir(table, snap).toString)
   }
 
   private def compactName(table: String): String = table + "__compacted"

@@ -58,7 +58,7 @@ object EventStream {
     * the DuckDB oracle runs.
     */
   def windowedAgg(spark: SparkSession, eventsDir: String): DataFrame = {
-    val schema = spark.read.parquet(eventsDir).schema
+    val schema = graft.GraftSession.readParquet(spark, eventsDir).schema
     // the streaming file source wants a DIRECTORY of files; testdata tables
     // are single parquet files — stage a symlink dir (zero copy)
     val srcPath = java.nio.file.Paths.get(eventsDir)
@@ -98,7 +98,7 @@ object EventStream {
     */
   def streamExactDedup(spark: SparkSession, pagesDir: String): DataFrame = {
     import graft.functions.gf
-    val schema = spark.read.parquet(pagesDir).schema
+    val schema = graft.GraftSession.readParquet(spark, pagesDir).schema
     val stream = spark.readStream.schema(schema).parquet(pagesDir)
     val agg = stream
       .groupBy(gf.contentKey64(col("text")).as("ckey"))
@@ -127,7 +127,7 @@ object EventStream {
     import spark.implicits._
     // integer microseconds end to end (timestamps carry µs precision;
     // second-level rounding would diverge from the oracle)
-    val events = spark.read.parquet(eventsDir)
+    val events = graft.GraftSession.readParquet(spark, eventsDir)
       .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
       .as[(Long, Long)]
     val gapUs = gapMinutes * 60000000L
@@ -163,7 +163,7 @@ object EventStream {
   def sessionizeSorted(spark: SparkSession, eventsDir: String,
                        gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val events = spark.read.parquet(eventsDir)
+    val events = graft.GraftSession.readParquet(spark, eventsDir)
       .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
       .as[(Long, Long)]
     val gapUs = gapMinutes * 60000000L
