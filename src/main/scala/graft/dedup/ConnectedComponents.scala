@@ -90,12 +90,18 @@ object ConnectedComponents {
     * e.g. from committed store manifests — skip the eager persist+count
     * dispatch job.
     */
+  /** The env-overridable local-dispatch threshold (shared by every caller
+    * that gates a driver CC on edge count — `SPARK_GRAFT_CC_MAX=0` forces
+    * the distributed path everywhere at once).
+    */
+  def resolvedSmallMax: Long = sys.env.get("SPARK_GRAFT_CC_MAX")
+    .flatMap(v => scala.util.Try(v.trim.toLong).toOption
+      .orElse { System.err.println(
+        s"[graft] ignoring malformed SPARK_GRAFT_CC_MAX='$v'"); None })
+    .getOrElse(SMALL_GRAPH_MAX)
+
   def assignAll(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-                smallGraphMax: Long = sys.env.get("SPARK_GRAFT_CC_MAX")
-                  .flatMap(v => scala.util.Try(v.trim.toLong).toOption
-                    .orElse { System.err.println(
-                      s"[graft] ignoring malformed SPARK_GRAFT_CC_MAX='$v'"); None })
-                  .getOrElse(SMALL_GRAPH_MAX),
+                smallGraphMax: Long = resolvedSmallMax,
                 knownEdgeCount: Option[Long] = None): DataFrame = {
     val e0 = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
     val e = knownEdgeCount match {

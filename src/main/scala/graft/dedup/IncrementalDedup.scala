@@ -51,6 +51,27 @@ object IncrementalDedup {
     * in snapshot 0).
     */
   final val LOCAL_PROBE_MAX_CONTENTS: Long = 1L << 16
+
+  /** Driver relabel kernel for the small regime: union-find components over
+    * the edge list, then min content_id per component — the pure form of
+    * the distributed comps⋈registry→groupBy(min)→join-back relabel
+    * (parity spec-gated in IncrementalDedupSpec against the forced
+    * distributed star rounds). Returns (ckey, cluster) for every registry
+    * row; singleton ckeys (no edges) label with their own content_id.
+    */
+  private[graft] def localClusterLabels(reg: Array[(Long, Long)],
+                                        edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val comp = ConnectedComponents.localComponents(edges)
+    val minCid = new java.util.HashMap[Long, Long]()
+    for ((ck, cid) <- reg) {
+      val root = comp.getOrElse(ck, ck)
+      val cur = minCid.getOrDefault(root, Long.MaxValue)
+      if (cid < cur) minCid.put(root, cid)
+    }
+    reg.map { case (ck, _) =>
+      (ck, minCid.get(comp.getOrElse(ck, ck)).longValue)
+    }
+  }
 }
 
 final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
@@ -261,15 +282,34 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // point. ConnectedComponents checkpoints its rounds internally, so
     // deriving adds no recomputation.
     val contentClusters = {
-      // edge count comes from the committed manifests — no dispatch job
+      // edge/content counts come from the committed manifests — no dispatch
+      // job. SMALL dispatch (the same pattern as the probe kernel / serial
+      // chunk chain / IVF training): below the thresholds the ENTIRE
+      // cluster derivation — union-find AND the min-content_id relabel —
+      // runs driver-side from two bounded collects, and contentClusters
+      // becomes a LocalRelation that broadcasts into the assignments join
+      // with zero exchanges (the distributed relabel paid a registry scan,
+      // a groupBy exchange and a join-back of AQE stage latency per
+      // snapshot). Parity with the forced distributed form is spec-gated.
       val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
-      val comps = ConnectedComponents.assignAll(spark,
-        registry.select(col("ckey")), edges, // (id = ckey, cluster = min ckey)
-        knownEdgeCount = Some(nEdges))
-      val labels = comps.join(registry, comps("id") === registry("ckey"))
-        .groupBy(comps("cluster")).agg(min("content_id").as("content_cluster"))
-      comps.join(labels, "cluster")
-        .select(col("id").as("ckey"), col("content_cluster").as("cluster"))
+      val nContents = (0 to snap).map(s => store.committedRows("content", s)).sum
+      if (nContents <= IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS &&
+          nEdges <= ConnectedComponents.resolvedSmallMax) {
+        import spark.implicits._
+        val reg = registry.select(col("ckey"), col("content_id"))
+          .as[(Long, Long)].collect()
+        val es = edges.as[(Long, Long)].collect()
+        IncrementalDedup.localClusterLabels(reg, es).toSeq
+          .toDF("ckey", "cluster")
+      } else {
+        val comps = ConnectedComponents.assignAll(spark,
+          registry.select(col("ckey")), edges, // (id = ckey, cluster = min ckey)
+          knownEdgeCount = Some(nEdges))
+        val labels = comps.join(registry, comps("id") === registry("ckey"))
+          .groupBy(comps("cluster")).agg(min("content_id").as("content_cluster"))
+        comps.join(labels, "cluster")
+          .select(col("id").as("ckey"), col("content_cluster").as("cluster"))
+      }
     }
 
     // documents inherit their content's cluster (one hash join, no rescan)

@@ -322,4 +322,27 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(e0 < 52L * 1500 * 2 && e1 < 52L * 1500 * 2,
       s"edge volume not bounded: $e0 / $e1")
   }
+
+  test("driver cluster-relabel kernel == forced-distributed relabel (random graph)") {
+    // the small-regime contentClusters dispatch (union-find + min-content_id
+    // relabel on the driver) must agree with the distributed star-rounds +
+    // join/groupBy relabel on an adversarial fixture: multi-node components,
+    // singletons, duplicate content_ids across components
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 500
+    val reg = Array.tabulate(n)(i => (1000L + i, rnd.nextInt(120).toLong))
+    val edges = Array.fill(300)(
+      (1000L + rnd.nextInt(n), 1000L + rnd.nextInt(n))).filter(e => e._1 != e._2)
+    val local = IncrementalDedup.localClusterLabels(reg, edges).toMap
+    val regDf = reg.toSeq.toDF("ckey", "content_id")
+    val eDf = edges.toSeq.toDF("a", "b")
+    val comps = ConnectedComponents.assignAll(spark, regDf.select("ckey"), eDf,
+      smallGraphMax = 0) // force the distributed star rounds
+    val labels = comps.join(regDf, comps("id") === regDf("ckey"))
+      .groupBy(comps("cluster")).agg(min("content_id").as("cc"))
+    val dist = comps.join(labels, "cluster").select(col("id"), col("cc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local.size == n && local == dist)
+  }
 }
