@@ -52,6 +52,39 @@ object IncrementalDedup {
     */
   final val LOCAL_PROBE_MAX_CONTENTS: Long = 1L << 16
 
+  /** Candidate-pair threshold for the driver-side exact-Jaccard verify +
+    * zero-job edges commit. Sizing: ≤ 2·2¹⁶ distinct ckeys in the pruning
+    * InSet (~1 MB of plan literals), one pruned (ckey, sh) collect of that
+    * many rows (~500 ints each ≈ 130 MB worst-transient, typical ≪), and
+    * ≤ 2¹⁶ sorted-merge intersections (~ms of driver CPU). Above it the
+    * driver-computed candidates parallelize into the distributed verify —
+    * the pre-r6.3 path, unchanged.
+    */
+  final val LOCAL_VERIFY_MAX_PAIRS: Int = 1 << 16
+
+  /** Document threshold for the driver-side assignments join (label-map
+    * lookup over the collected (doc_id, ckey) pairs): 2¹⁷ boxed pairs
+    * ≈ 10 MB transient, one narrow collect replacing a broadcast-join
+    * write job. Requires the local cluster labels to exist (same regime).
+    */
+  final val LOCAL_ASSIGN_MAX_ROWS: Long = 1L << 17
+
+  import org.apache.spark.sql.types._
+  private[graft] val edgesSchema = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false)))
+  private[graft] val metricsSchema = StructType(Seq(
+    StructField("snapshot", IntegerType, nullable = false),
+    StructField("n_pages", LongType, nullable = false),
+    StructField("n_changed", LongType, nullable = false),
+    StructField("n_new_content", LongType, nullable = false),
+    StructField("n_edges", LongType, nullable = false),
+    StructField("n_assignments", LongType, nullable = false),
+    StructField("elapsed_ms", LongType, nullable = false)))
+  private[graft] val assignSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("cluster", LongType, nullable = false)))
+
   /** Driver relabel kernel for the small regime: union-find components over
     * the edge list, then min content_id per component — the pure form of
     * the distributed comps⋈registry→groupBy(min)→join-back relabel
@@ -80,7 +113,13 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
                                * into one compacted snapshot every this many
                                * snapshots — bounds readRange fan-in at chain
                                * depth (0 disables). */
-                             compactEvery: Int = 4) {
+                             compactEvery: Int = 4,
+                             /** spec hook: false forces every small-regime
+                               * driver dispatch (probe kernel, local verify,
+                               * relabel, assignments) down the distributed
+                               * path — the parity twin the specs compare
+                               * committed tables against. */
+                             localDispatch: Boolean = true) {
 
   /** Process snapshot `snap` of the pages table; returns (doc_id, cluster)
     * for this snapshot's documents. Idempotent.
@@ -191,33 +230,31 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
         .unionByName(features.select(col("ckey"),
           explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks,
             cfg.simhashMaxHamming)).as("key")))
-    val newKeys = keysOf(newFeatures)
 
     // near-dup edges between content nodes — per-snapshot sets are disjoint
     // (a pair surfaces exactly when its newer member arrives, via either
-    // probe family), so only the new edges are committed
-    val newEdges = store.stage("edges", snap,
-      // file sizer only: verified edge count is near-linear in this
-      // snapshot's new contents (bounded probes; star caps on hot keys)
-      approxRows = Some(math.max(1L, store.committedRows("content", snap)))) {
-      // bounded new-vs-accumulated probes: same hot-key star guard as the
-      // batch pipeline (a boilerplate band key with 10⁶ accumulated entries
-      // × 10³ new arrivals must emit 10³ candidates, not 10⁹); ckeys are
-      // registered exactly once so new/old element sets are disjoint, the
-      // kernel's contract.
-      //
-      // SMALL dispatch (zero extra jobs to decide — content counts come
-      // from the committed manifests): below LOCAL_PROBE_MAX_CONTENTS the
-      // whole key stream fits in a few driver MB, and the candidate kernel
-      // runs as ONE collect + local hash-group instead of ~6 sequential
-      // AQE query stages of pure latency — the same small-input dispatch
-      // as the serial chunk chain and the CC driver union-find; parity is
-      // spec-gated (BoundedBucketSpec). Above the threshold the fused
-      // distributed kernel runs unchanged.
-      val newE = newKeys.select(col("key"), col("ckey").as("e"))
+    // probe family), so only the new edges are committed.
+    //
+    // SMALL dispatch (zero extra jobs to decide — content counts come from
+    // the committed manifests): below LOCAL_PROBE_MAX_CONTENTS the whole key
+    // stream fits in a few driver MB, and the candidate kernel runs as ONE
+    // collect + local hash-group instead of ~6 sequential AQE query stages
+    // of pure latency — the same small-input dispatch as the serial chunk
+    // chain and the CC driver union-find; parity is spec-gated
+    // (BoundedBucketSpec). When the candidate set is also small
+    // (≤ LOCAL_VERIFY_MAX_PAIRS) the exact-Jaccard verify runs driver-side
+    // too — one pruned sh collect, the same Impl.jaccardArr kernel — and
+    // the edges commit is a zero-job LocalParquet write. Above the
+    // thresholds the fused distributed kernel/verify run unchanged (a
+    // 100-TB chain crosses them in snapshot 0).
+    val newEdges = {
       val nContents = (0 to snap).map(s => store.committedRows("content", s)).sum
-      val cand = (
-        if (nContents <= IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS) {
+      // driver-computed candidates, normalized (a<b, distinct) — None when
+      // already committed (resume: zero collects) or above the threshold
+      val localCands: Option[Array[(Long, Long)]] =
+        if (!localDispatch || store.isCommitted("edges", snap) ||
+            nContents > IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS) None
+        else Some {
           import spark.implicits._
           // collect the FEATURES (≤64k rows) and derive the ~52 probe keys
           // per content DRIVER-side through the same Impl kernels the
@@ -248,27 +285,68 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
           val (oks, oes) =
             if (snap == 0) (Array.emptyLongArray, Array.emptyLongArray)
             else featKv(store.readRange("content", 0, snap - 1))
-          // parallelize (not a local relation): the pair array splits into
-          // normal-sized tasks for the downstream distinct + verify joins
-          spark.sparkContext.parallelize(
-            MinHashLSH.boundedProbePairsLocalP(nks, nes, oks, oes,
-              cfg.maxBucket).toSeq,
-            math.max(1, spark.sparkContext.defaultParallelism / 4))
-            .toDF("p", "q")
-        } else if (snap == 0)
-          // no accumulated state yet — the plain batch kernel (one groupBy +
-          // one join) emits the identical candidate set with fewer exchanges
-          MinHashLSH.boundedBucketPairs(newE, Seq("key"), cfg.maxBucket)
-        else MinHashLSH.boundedProbePairs(newE,
-          keysOf(store.readRange("content", 0, snap - 1))
-            .select(col("key"), col("ckey").as("e")),
-          Seq("key"), cfg.maxBucket))
-        .filter(col("p") =!= col("q"))
-        .select(least(col("p"), col("q")).as("a"), greatest(col("p"), col("q")).as("b"))
-        .distinct()
-      val allFeatures = store.readRange("content", 0, snap)
-        .select(col("ckey").as("doc_id"), col("sh"))
-      MinHashLSH.verifiedPairs(allFeatures, cand, cfg).select("a", "b")
+          MinHashLSH.normalizedDistinctPairsLocal(
+            MinHashLSH.boundedProbePairsLocalP(nks, nes, oks, oes, cfg.maxBucket))
+        }
+      localCands match {
+        case Some(cands) if cands.length <= IncrementalDedup.LOCAL_VERIFY_MAX_PAIRS =>
+          // driver verify: collect sh ONLY for ckeys that appear in a
+          // candidate (a pruned InSet scan of the committed content range —
+          // bounded by 2 × LOCAL_VERIFY_MAX_PAIRS keys), then the exact
+          // sorted-merge Jaccard per pair. The commit itself is job-free.
+          import spark.implicits._
+          val ckeys = cands.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+          val sh = scala.collection.mutable.LongMap.empty[Array[Int]]
+          if (ckeys.nonEmpty)
+            for ((ck, s) <- store.readRange("content", 0, snap)
+                   .select(col("ckey"), col("sh"))
+                   .filter(col("ckey").isInCollection(ckeys))
+                   .as[(Long, Option[Array[Int]])].collect();
+                 arr <- s) sh(ck) = arr
+          val verified = MinHashLSH.verifiedPairsLocal(sh, cands, cfg.tau)
+          store.commitLocal("edges", snap, IncrementalDedup.edgesSchema,
+            verified.toIndexedSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)))
+          store.read("edges", snap)
+        case _ =>
+          store.stage("edges", snap,
+            // file sizer only: verified edge count is near-linear in this
+            // snapshot's new contents (bounded probes; star caps on hot keys)
+            approxRows = Some(math.max(1L, store.committedRows("content", snap)))) {
+            import spark.implicits._
+            val cand = localCands match {
+              case Some(c) =>
+                // already normalized+distinct; parallelize (not a local
+                // relation) so the pair array splits into normal-sized
+                // tasks for the verify joins
+                spark.sparkContext.parallelize(c.toSeq,
+                  math.max(1, spark.sparkContext.defaultParallelism / 4))
+                  .toDF("a", "b")
+              case None =>
+                // bounded new-vs-accumulated probes: same hot-key star guard
+                // as the batch pipeline (a boilerplate band key with 10⁶
+                // accumulated entries × 10³ new arrivals must emit 10³
+                // candidates, not 10⁹); ckeys are registered exactly once so
+                // new/old element sets are disjoint, the kernel's contract.
+                val newE = keysOf(newFeatures).select(col("key"), col("ckey").as("e"))
+                (if (snap == 0)
+                  // no accumulated state yet — the plain batch kernel (one
+                  // groupBy + one join) emits the identical candidate set
+                  // with fewer exchanges
+                  MinHashLSH.boundedBucketPairs(newE, Seq("key"), cfg.maxBucket)
+                else MinHashLSH.boundedProbePairs(newE,
+                  keysOf(store.readRange("content", 0, snap - 1))
+                    .select(col("key"), col("ckey").as("e")),
+                  Seq("key"), cfg.maxBucket))
+                  .filter(col("p") =!= col("q"))
+                  .select(least(col("p"), col("q")).as("a"),
+                    greatest(col("p"), col("q")).as("b"))
+                  .distinct()
+            }
+            val allFeatures = store.readRange("content", 0, snap)
+              .select(col("ckey").as("doc_id"), col("sh"))
+            MinHashLSH.verifiedPairs(allFeatures, cand, cfg).select("a", "b")
+          }
+      }
     }
     val edges = store.readRange("edges", 0, snap).select("a", "b")
 
@@ -281,27 +359,35 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     // single consumer (assignments, committed right below) is the resume
     // point. ConnectedComponents checkpoints its rounds internally, so
     // deriving adds no recomputation.
-    val contentClusters = {
-      // edge/content counts come from the committed manifests — no dispatch
-      // job. SMALL dispatch (the same pattern as the probe kernel / serial
-      // chunk chain / IVF training): below the thresholds the ENTIRE
-      // cluster derivation — union-find AND the min-content_id relabel —
-      // runs driver-side from two bounded collects, and contentClusters
-      // becomes a LocalRelation that broadcasts into the assignments join
-      // with zero exchanges (the distributed relabel paid a registry scan,
-      // a groupBy exchange and a join-back of AQE stage latency per
-      // snapshot). Parity with the forced distributed form is spec-gated.
+    // edge/content counts come from the committed manifests — no dispatch
+    // job. SMALL dispatch (the same pattern as the probe kernel / serial
+    // chunk chain / IVF training): below the thresholds the ENTIRE
+    // cluster derivation — union-find AND the min-content_id relabel —
+    // runs driver-side from two bounded collects. Parity with the forced
+    // distributed form is spec-gated. LAZY: on resume (assignments already
+    // committed) neither collect ever fires.
+    lazy val localLabels: Option[Array[(Long, Long)]] = {
       val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
       val nContents = (0 to snap).map(s => store.committedRows("content", s)).sum
-      if (nContents <= IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS &&
+      if (localDispatch &&
+          nContents <= IncrementalDedup.LOCAL_PROBE_MAX_CONTENTS &&
           nEdges <= ConnectedComponents.resolvedSmallMax) {
         import spark.implicits._
         val reg = registry.select(col("ckey"), col("content_id"))
           .as[(Long, Long)].collect()
         val es = edges.as[(Long, Long)].collect()
-        IncrementalDedup.localClusterLabels(reg, es).toSeq
-          .toDF("ckey", "cluster")
-      } else {
+        Some(IncrementalDedup.localClusterLabels(reg, es))
+      } else None
+    }
+    lazy val contentClusters = localLabels match {
+      case Some(labels) =>
+        // LocalRelation — broadcasts into the assignments join with zero
+        // exchanges (the distributed relabel paid a registry scan, a
+        // groupBy exchange and a join-back of AQE stage latency)
+        import spark.implicits._
+        labels.toSeq.toDF("ckey", "cluster")
+      case None =>
+        val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
         val comps = ConnectedComponents.assignAll(spark,
           registry.select(col("ckey")), edges, // (id = ckey, cluster = min ckey)
           knownEdgeCount = Some(nEdges))
@@ -309,33 +395,49 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
           .groupBy(comps("cluster")).agg(min("content_id").as("content_cluster"))
         comps.join(labels, "cluster")
           .select(col("id").as("ckey"), col("content_cluster").as("cluster"))
+    }
+
+    // documents inherit their content's cluster. Small regime: the labels
+    // are already a driver map, so the "join" is a lookup over one narrow
+    // (doc_id, ckey) collect and the commit is a zero-job LocalParquet
+    // write — replacing a broadcast-join write job per snapshot. A ckey
+    // missing from the label map would be a broken registration invariant:
+    // fail loudly rather than drop the document.
+    val assignments =
+      if (!store.isCommitted("assignments", snap) &&
+          store.committedRows("pages_keyed", snap) <= IncrementalDedup.LOCAL_ASSIGN_MAX_ROWS &&
+          localLabels.isDefined) {
+        import spark.implicits._
+        val lm = scala.collection.mutable.LongMap.empty[Long]
+        for ((ck, cl) <- localLabels.get) lm(ck) = cl
+        val kv = keyed.select(col("doc_id"), col("ckey")).as[(Long, Long)].collect()
+        store.commitLocal("assignments", snap, IncrementalDedup.assignSchema,
+          kv.toIndexedSeq.map { case (d, ck) =>
+            org.apache.spark.sql.Row(d, lm.getOrElse(ck,
+              sys.error(s"ckey $ck of doc $d has no cluster label")))
+          })
+        store.read("assignments", snap)
+      } else store.stage("assignments", snap,
+        approxRows = Some(store.committedRows("pages_keyed", snap))) {
+        keyed.select(col("doc_id"), col("ckey"))
+          .join(contentClusters, Seq("ckey"))
+          .select(col("doc_id"), col("cluster"))
       }
-    }
 
-    // documents inherit their content's cluster (one hash join, no rescan)
-    val assignments = store.stage("assignments", snap,
-      approxRows = Some(store.committedRows("pages_keyed", snap))) {
-      keyed.select(col("doc_id"), col("ckey"))
-        .join(contentClusters, Seq("ckey"))
-        .select(col("doc_id"), col("cluster"))
-    }
-
-    store.stage("metrics", snap, Map("stage" -> "snapshot_summary"),
-      approxRows = Some(1L)) {
-      import spark.implicits._
-      // row counts come from the committed stage manifests — zero extra
-      // jobs, except n_changed (A3): `changed` is derived, not committed,
-      // so its count is one narrow anti-join pass, paid only when this
-      // metrics stage actually computes (never on resume)
+    // row counts come from the committed stage manifests — zero extra
+    // jobs, except n_changed (A3): `changed` is derived, not committed,
+    // so its count is one narrow anti-join pass, paid only when this
+    // metrics stage actually computes (never on resume). The 1-row frame
+    // itself commits through the zero-job local writer.
+    store.stageLocal("metrics", snap, IncrementalDedup.metricsSchema,
+      Map("stage" -> "snapshot_summary")) {
       val nEdges = (0 to snap).map(s => store.committedRows("edges", s)).sum
-      Seq((snap, store.committedRows("pages_keyed", snap),
+      Seq(org.apache.spark.sql.Row(snap, store.committedRows("pages_keyed", snap),
         if (snap == 0) store.committedRows("pages_keyed", 0) // changed ≡ keyed
         else changed.count(),
         store.committedRows("content", snap), nEdges,
         store.committedRows("assignments", snap),
         (System.nanoTime() - t0) / 1000000))
-        .toDF("snapshot", "n_pages", "n_changed", "n_new_content",
-          "n_edges", "n_assignments", "elapsed_ms")
     }
 
     // Iceberg-style maintenance: periodically rewrite each append-only

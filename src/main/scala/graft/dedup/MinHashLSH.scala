@@ -238,6 +238,43 @@ object MinHashLSH {
     out.result()
   }
 
+  /** Driver-side form of the normalize step the distributed edge path runs
+    * as filter + least/greatest + distinct: drop self-pairs, orient each
+    * pair (min, max), dedupe. Bounded callers only (the local probe
+    * kernel's output).
+    */
+  def normalizedDistinctPairsLocal(raw: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val seen = new java.util.HashSet[java.lang.Long](raw.length * 2)
+    val out = Array.newBuilder[(Long, Long)]
+    for ((p, q) <- raw if p != q) {
+      val a = math.min(p, q); val b = math.max(p, q)
+      // ckeys are fmix64-mixed 64-bit hashes — (a rotl 32) ^ b collides only
+      // if two distinct normalized pairs share both halves, i.e. a genuine
+      // 64-bit collision among ckeys, which the registry already excludes
+      val packed = java.lang.Long.rotateLeft(a, 32) ^ b
+      if (seen.add(packed)) out += ((a, b))
+    }
+    out.result()
+  }
+
+  /** Driver-side form of [[verifiedPairs]] for the small regime: the same
+    * exact-Jaccard >= tau verify through the SAME kernel
+    * (Impl.jaccardArr — what gf.jaccard's codegen evaluates), over shingle
+    * sets already collected to the driver. A pair either of whose sides has
+    * no shingle set (NULL sh: empty-text content) is dropped, matching the
+    * distributed filter's null semantics. Returns verified (a, b) pairs in
+    * input order.
+    */
+  def verifiedPairsLocal(sh: scala.collection.mutable.LongMap[Array[Int]],
+                         candidates: Array[(Long, Long)],
+                         tau: Double): Array[(Long, Long)] =
+    candidates.filter { case (a, b) =>
+      (sh.get(a), sh.get(b)) match {
+        case (Some(sa), Some(sb)) => graft.functions.Impl.jaccardArr(sa, sb) >= tau
+        case _ => false
+      }
+    }
+
   /** Candidate pairs (a < b) from bucketed probe keys: one hash-shuffle on
     * the key — the explicit global exchange the reference never needs
     * (rank-local dedup, dedup_files_mpi.cpp:53-65) — then the bounded

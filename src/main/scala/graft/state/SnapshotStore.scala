@@ -110,6 +110,54 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Driver-direct commit of a TINY frame whose rows already live on the
+    * driver (1-row metrics, a local-regime edge list): zero Spark jobs —
+    * the file is written through Spark's own ParquetWriteSupport
+    * ([[org.apache.spark.sql.graftx.LocalParquet]]) and lands under the
+    * identical crash-safe manifest + atomic-rename protocol as [[commit]],
+    * so readers and resume cannot tell the two apart. Callers are the
+    * small-dispatch sites only; every row set is bounded by construction.
+    */
+  def commitLocal(table: String, snap: Int,
+                  schema: org.apache.spark.sql.types.StructType,
+                  rows: Seq[org.apache.spark.sql.Row],
+                  meta: Map[String, String] = Map.empty): Unit = {
+    if (isCommitted(table, snap)) return
+    val target = dir(table, snap)
+    val tmp = Paths.get(target.toString + ".tmp")
+    deleteRec(tmp); deleteRec(target)
+    Files.createDirectories(tmp)
+    val t0 = System.nanoTime()
+    val nullableSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+    val fname = "part-00000-local.parquet"
+    val n = org.apache.spark.sql.graftx.LocalParquet.write(
+      spark, tmp.resolve(fname).toString, nullableSchema, rows)
+    val ms = (System.nanoTime() - t0) / 1000000
+    val metaJson = meta.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ")
+    val json =
+      s"""{"table": ${q(table)}, "snapshot": $snap, "rows": $n,
+         | "num_partitions": 1, "write_ms": $ms,
+         | "partitions": [{"file": ${q(fname)}, "rows": $n}],
+         | "meta": {$metaJson}}""".stripMargin
+    Files.write(tmp.resolve("_SCHEMA.json"),
+      nullableSchema.json.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp.resolve("_MANIFEST.json"), json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Compute-or-reuse wrapper over [[commitLocal]] — the driver-side stage
+    * runner (rows are only materialized when the snapshot is missing, so
+    * resume skips the collect entirely).
+    */
+  def stageLocal(table: String, snap: Int,
+                 schema: org.apache.spark.sql.types.StructType,
+                 meta: Map[String, String] = Map.empty)
+                (computeRows: => Seq[org.apache.spark.sql.Row]): DataFrame = {
+    if (!isCommitted(table, snap)) commitLocal(table, snap, schema, computeRows, meta)
+    read(table, snap)
+  }
+
   def read(table: String, snap: Int): DataFrame = {
     require(isCommitted(table, snap), s"$table/snapshot=$snap not committed")
     nReads.incrementAndGet()

@@ -323,6 +323,106 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       s"edge volume not bounded: $e0 / $e1")
   }
 
+  test("commitLocal writes the same table Spark's writer commits (schema + rows + protocol)") {
+    // the zero-job LocalParquet commit must be indistinguishable from a
+    // Spark-written one: identical committed schema, identical rows read
+    // back, same manifest fields, idempotent on re-commit
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("s", StringType), StructField("al", ArrayType(LongType)),
+      StructField("d", DoubleType), StructField("bo", BooleanType)))
+    val rows = Seq(
+      Row(1, 10L, "alpha", Seq(1L, 2L, 3L), 1.5, true),
+      Row(2, 20L, null, Seq.empty[Long], -0.25, false),
+      Row(3, 30L, "γüñ", null, 0.0, true))
+    val root = Files.createTempDirectory("graft_commit_local").toString
+    val store = new SnapshotStore(spark, root)
+    store.commitLocal("t_local", 0, schema, rows)
+    store.commit("t_spark", 0,
+      spark.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+        schema), approxRows = Some(rows.length.toLong))
+    val local = store.read("t_local", 0)
+    val viaSpark = store.read("t_spark", 0)
+    assert(local.schema == viaSpark.schema)
+    def key(r: Row): String = r.toSeq.map {
+      case s: Seq[_] => s.mkString("[", ",", "]")
+      case v => String.valueOf(v)
+    }.mkString("|")
+    assert(local.collect().map(key).sorted.toSeq
+      == viaSpark.collect().map(key).sorted.toSeq)
+    assert(store.committedRows("t_local", 0) == rows.length)
+    assert(store.manifestJson("t_local", 0).contains("\"partitions\""))
+    // idempotent: a re-commit with different rows is a no-op on a committed
+    // snapshot — the resume contract commit() already has
+    store.commitLocal("t_local", 0, schema, Seq(Row(9, 9L, "x", null, 9.9, false)))
+    assert(store.committedRows("t_local", 0) == rows.length)
+  }
+
+  test("driver verify kernel == distributed verifiedPairs (incl. NULL shingle sets)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // shingle sets stored SORTED (the merge-intersection contract)
+    val sets: Map[Long, Array[Int]] = (0L until 40L).map { id =>
+      val base = Array.tabulate(120)(i => rnd.nextInt(4000))
+      id -> base.distinct.sorted
+    }.toMap
+    // overlapping pairs + disjoint pairs + a ckey with NULL sh (45L)
+    val cands = ((0L until 39L).map(i => (i, i + 1)) ++
+      Seq((0L, 45L), (45L, 3L), (5L, 5L))).toArray
+    val sh = scala.collection.mutable.LongMap.empty[Array[Int]]
+    for ((k, v) <- sets) sh(k) = v
+    val local = MinHashLSH.verifiedPairsLocal(sh, cands, tau = 0.05).toSet
+    val feats = (sets.toSeq.map { case (k, v) => (k, Option(v.toSeq)) } :+
+      (45L, Option.empty[Seq[Int]])).toDF("doc_id", "sh")
+    val dist = MinHashLSH.verifiedPairs(feats,
+      cands.toSeq.toDF("a", "b"), cfg.copy(tau = 0.05))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == dist)
+    assert(local.nonEmpty, "fixture must verify at least one pair")
+    assert(!local.exists(p => p._1 == 45L || p._2 == 45L))
+    // the driver normalize == the distributed filter/least/greatest/distinct
+    val raw = Array((3L, 7L), (7L, 3L), (3L, 3L), (9L, 2L), (2L, 9L), (9L, 2L))
+    val normLocal = MinHashLSH.normalizedDistinctPairsLocal(raw).toSet
+    val normDist = raw.toSeq.toDF("p", "q")
+      .filter(col("p") =!= col("q"))
+      .select(least(col("p"), col("q")).as("a"), greatest(col("p"), col("q")).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(normLocal == normDist && normLocal == Set((3L, 7L), (2L, 9L)))
+  }
+
+  test("local-dispatch snapshot chain commits identical tables to the forced-distributed twin") {
+    // every small-regime driver dispatch (probe kernel, driver verify +
+    // zero-job edges commit, relabel, local assignments) against the full
+    // distributed path on the same two snapshots: committed edges,
+    // assignments and metrics must be row-identical
+    val (n, m) = (250, 50)
+    def run(local: Boolean): SnapshotStore = {
+      val root = Files.createTempDirectory(s"graft_inc_twin_$local").toString
+      val store = new SnapshotStore(spark, root)
+      val inc = new IncrementalDedup(spark, store, cfg, localDispatch = local)
+      inc.processSnapshot(0, snapshotPages(0, n, m))
+      inc.processSnapshot(1, snapshotPages(1, n, m))
+      store
+    }
+    val (ls, ds) = (run(true), run(false))
+    for (snapId <- 0 to 1) {
+      def tbl(s: SnapshotStore, t: String): Seq[Seq[Any]] =
+        s.read(t, snapId).collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString(","))
+      for (t <- Seq("edges", "assignments", "pages_keyed"))
+        assert(tbl(ls, t) == tbl(ds, t), s"$t/$snapId differs")
+      // metrics: identical except the wall-clock column
+      val Seq(lm) = tbl(ls, "metrics"); val Seq(dm) = tbl(ds, "metrics")
+      assert(lm.dropRight(1) == dm.dropRight(1), s"metrics/$snapId differs")
+      assert(ls.read("metrics", snapId).schema == ds.read("metrics", snapId).schema)
+      assert(ls.read("edges", snapId).schema == ds.read("edges", snapId).schema)
+    }
+    // the fixture must actually exercise the verify: snapshot 1 has edges
+    assert(ls.committedRows("edges", 1) > 0)
+  }
+
   test("driver cluster-relabel kernel == forced-distributed relabel (random graph)") {
     // the small-regime contentClusters dispatch (union-find + min-content_id
     // relabel on the driver) must agree with the distributed star-rounds +
