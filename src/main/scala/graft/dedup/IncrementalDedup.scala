@@ -190,27 +190,32 @@ final class IncrementalDedup(spark: SparkSession, store: SnapshotStore,
     def contentUpTo(hi: Int): DataFrame =
       if (hi < 0) emptyReg()
       else store.readRange("content", 0, hi)
-    // fresh registrations feed BOTH the feature pass and the final
-    // left-join; persist the (small, per-snapshot work set) frame so the
-    // accumulated-registry anti-join runs once, not twice. Lazy: on resume
-    // the stage compute never evaluates and the persist costs nothing.
-    val freshReg =
-      changed.join(contentUpTo(snap - 1).select("ckey"), Seq("ckey"), "left_anti")
-        .groupBy("ckey").agg(min("doc_id").as("content_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newContent =
-      try store.stage("content", snap,
+      store.stage("content", snap,
         approxRows = Some(store.committedRows("pages_keyed", snap))) {
         // text comes from the electing document's INPUT row — the store
         // holds no text; shingles + MinHash + SimHash in one tokenization
-        // pass per content (same kernel as the batch flagship)
-        val fused = MinHashLSH.featuresFused(
-          freshReg.select(col("ckey"), col("content_id").as("doc_id"))
-            .join(pages.select("doc_id", "text"), Seq("doc_id"))
-            .select(col("ckey"), col("text")), cfg, idCol = "ckey")
-          .withColumnRenamed("doc_id", "ckey")
-        freshReg.join(fused, Seq("ckey"), "left")
-      } finally freshReg.unpersist()
+        // pass per content (same kernel as the batch flagship). Features
+        // are computed IN the registration projection: an empty text keeps
+        // its registry row with NULL features via the `when` guard — the
+        // same semantics the pre-r6.3 layout bought with a second
+        // freshReg-vs-fused left join (one exchange + one persisted frame
+        // cheaper per snapshot). Codegen CSE evaluates the struct once for
+        // its three field reads.
+        val fresh =
+          changed.join(contentUpTo(snap - 1).select("ckey"), Seq("ckey"), "left_anti")
+            .groupBy("ckey").agg(min("doc_id").as("content_id"))
+        fresh
+          .join(pages.select(col("doc_id").as("content_id"), col("text")),
+            Seq("content_id"))
+          .select(col("ckey"), col("content_id"),
+            when(length(trim(col("text"))) > 0,
+              gf.featureStruct(col("text"), cfg.shingleK, cfg.numPerm, cfg.seed))
+              .as("f"))
+          .select(col("ckey"), col("content_id"),
+            col("f.sh").as("sh"), col("f.sig").as("sig"),
+            col("f.sim64").as("sim64"))
+      }
     val registry = contentUpTo(snap).select("ckey", "content_id")
     val newFeatures = newContent.select("ckey", "sig", "sim64", "sh")
 

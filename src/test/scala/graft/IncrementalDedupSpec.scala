@@ -423,6 +423,38 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ls.committedRows("edges", 1) > 0)
   }
 
+  test("small-regime snapshot job count stays at the r6.3 floor") {
+    // the weather-independent cost of a toy-scale snapshot is its JOB count
+    // (scheduling latency dominates; wall seconds on this host carry 1.5-4x
+    // ambient noise). r6.3 eliminated the edges/assignments/metrics write
+    // jobs (zero-job LocalParquet commits) and the content join-back
+    // exchange: 23/34 -> 13/20 jobs at bench scale. Ceilings sit just above
+    // the measured floor so any regression (a new eager action, a lost
+    // local dispatch, a reintroduced schema-inference job) fails loudly.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    }
+    val (n, m) = (250, 50)
+    val root = Files.createTempDirectory("graft_inc_jobs").toString
+    val inc = new IncrementalDedup(spark, new SnapshotStore(spark, root), cfg)
+    val pages = Seq(0, 1).map(s => snapshotPages(s, n, m))
+    pages.foreach(_.count()) // materialize inputs outside the counted window
+    spark.sparkContext.addSparkListener(listener)
+    val jobs =
+      try Seq(0, 1).map { s =>
+        org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark.sparkContext)
+        val before = jobCounter.get()
+        inc.processSnapshot(s, pages(s))
+        org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark.sparkContext)
+        jobCounter.get() - before
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs(0) <= 16, s"snapshot 0 took ${jobs(0)} jobs (floor was 13)")
+    assert(jobs(1) <= 24, s"snapshot 1 took ${jobs(1)} jobs (floor was 20)")
+  }
+
   test("driver cluster-relabel kernel == forced-distributed relabel (random graph)") {
     // the small-regime contentClusters dispatch (union-find + min-content_id
     // relabel on the driver) must agree with the distributed star-rounds +
