@@ -726,6 +726,21 @@ object SparkEntry {
       graft.streaming.EventStream.streamExactDedup(s, oraclePagesPath(dir))
     }),
 
+    // Streaming near-dup pairs: the pipeline's candidate discovery as a
+    // stateful streaming operator (flatMapGroupsWithState keyed on the
+    // unified band∪simhash probe key; state = registered bucket members),
+    // drained with AvailableNow, then exact-Jaccard verified against the
+    // batch feature table. Same contract and oracle as pages_neardup_pairs:
+    // ALL rep pairs with J ≥ τ. Parity with the batch pipeline (incl.
+    // multi-batch arrival) is spec-gated in StreamNearDupSpec.
+    "pages_stream_neardup_pairs" -> ((s, dir) => {
+      val corpus = pagesCorpus(s, dir)
+      graft.streaming.StreamNearDup.pairs(s, oraclePagesPath(dir),
+          corpus.select("doc_id", "text"),
+          graft.dedup.DedupConfig(maxBucket = 1 << 20))
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+    }),
+
     // Embedding-cosine near-dup pairs. At oracle scale (≤1000 vectors) this
     // is the exact O(n²) threshold join DuckDB replicates; beyond that the
     // benched query is the SRP-LSH bucketed pair join at the SAME τ — the
@@ -1197,18 +1212,24 @@ object SparkEntry {
        |WHERE isz * 1.0 / (la + lb - isz) >= $tau""".stripMargin
   }
 
+  /** Shared by pages_neardup_pairs and its streaming twin — identical
+    * contract (all rep pairs with exact J ≥ τ), identical oracle.
+    */
+  private lazy val nearDupPairsOracle: String =
+    s"""WITH p AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $pagesGlob),
+       |a0 AS (SELECT doc_id, toks,
+       |         min(doc_id) OVER (PARTITION BY array_to_string(toks, ' ')) AS rep FROM p),
+       |sh AS (SELECT doc_id AS id, $shingleSql AS s FROM a0
+       |       WHERE doc_id = rep AND len(toks) > 0)
+       |SELECT a, b, round(isz * 1.0 / (la + lb - isz), 6) AS jac
+       |FROM (${nearPairsSql()})""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "pages_exact_dedup" ->
       s"""WITH p AS (SELECT doc_id, ${ntSql("text")} AS nt FROM $pagesGlob)
          |SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS rep FROM p""".stripMargin,
-    "pages_neardup_pairs" ->
-      s"""WITH p AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $pagesGlob),
-         |a0 AS (SELECT doc_id, toks,
-         |         min(doc_id) OVER (PARTITION BY array_to_string(toks, ' ')) AS rep FROM p),
-         |sh AS (SELECT doc_id AS id, $shingleSql AS s FROM a0
-         |       WHERE doc_id = rep AND len(toks) > 0)
-         |SELECT a, b, round(isz * 1.0 / (la + lb - isz), 6) AS jac
-         |FROM (${nearPairsSql()})""".stripMargin,
+    "pages_neardup_pairs" -> nearDupPairsOracle,
+    "pages_stream_neardup_pairs" -> nearDupPairsOracle,
     "pages_neardup_clusters" ->
       s"""WITH RECURSIVE
          |p AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $pagesGlob),

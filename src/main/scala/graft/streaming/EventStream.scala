@@ -21,7 +21,7 @@ object EventStream {
     * in the single digits. Restored afterwards (queries in one session run
     * serially through the bench/verify harness).
     */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[streaming] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
     spark.conf.set(key, n)
@@ -37,11 +37,18 @@ object EventStream {
     * scratch, the memory sink holds the result.
     */
   private def drainToMemory(spark: SparkSession, agg: DataFrame, name: String,
-                            statePartitions: Int): DataFrame = {
+                            statePartitions: Int): DataFrame =
+    drain(spark, agg, name, statePartitions, "complete")
+
+  /** Shared drain core — `mode` is the sink output mode ("complete" for the
+    * aggregation queries, "append" for the stateful pair emitters).
+    */
+  private[streaming] def drain(spark: SparkSession, df: DataFrame, name: String,
+                               statePartitions: Int, mode: String): DataFrame = {
     val ckpt = graft.GraftSession.scratchDir("stream_ckpt")
     try withStatePartitions(spark, statePartitions) {
-      val q = agg.writeStream
-        .outputMode("complete")
+      val q = df.writeStream
+        .outputMode(mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", ckpt)

@@ -1,0 +1,178 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.dedup.{DedupConfig, MinHashLSH}
+import graft.functions.gf
+
+/** Streaming near-duplicate pair detection: the batch pipeline's
+  * candidate-discovery stage (MinHash/LSH banding ∪ SimHash block keys, one
+  * unified 64-bit key space — NearDupPipeline steps 2+3) re-expressed as a
+  * stateful Structured Streaming operator, so near-dup pairs surface in the
+  * micro-batch where a pair's LATER member arrives — the continuous-crawl
+  * shape of the reference's insert-or-probe loop (SURVEY.md §2.4 J1), where
+  * the accumulated state lives in the streaming state store instead of a
+  * committed snapshot chain (the [[graft.dedup.IncrementalDedup]] analogue
+  * for unbounded micro-batches).
+  *
+  * Shape per micro-batch:
+  *
+  *   1. one codegen'd feature projection per arriving doc (content key +
+  *      MinHash signature + SimHash fingerprint in a single tokenization
+  *      pass — the same [[gf.featureStruct]] kernel as the batch pipeline);
+  *   2. key explosion to (key, ckey, doc_id) probe rows — 52 rows/doc
+  *      (32 bands + 20 simhash block-combination keys);
+  *   3. `flatMapGroupsWithState` keyed on the probe key: state is the
+  *      bucket's registered contents (ckey-distinct, rep = min doc_id at
+  *      first registration). New contents emit new×old and new×new
+  *      candidate pairs; exact dups (a ckey already registered) emit
+  *      nothing — every probe key of identical text is identical, so each
+  *      bucket independently recognizes and skips them;
+  *   4. post-drain: normalize (a<b) + distinct across the ~52 key families,
+  *      then the exact-Jaccard verify join against the batch feature table
+  *      (in production: a stream-static join against the feature store —
+  *      shingle sets do NOT belong in per-bucket state, which must stay
+  *      O(members), not O(members × shingles)).
+  *
+  * Contract (same as the `pages_neardup_pairs` listing): ALL pairs of
+  * distinct-content representatives with exact Jaccard ≥ τ — a pair
+  * LISTING, so `maxBucket` is a loud failure bound, not a star cap
+  * (star-capping belongs to clustering; a capped listing would be silently
+  * incomplete). Callers pass a raised bound like the other listing queries.
+  *
+  * Frozen-rep invariant (same as [[graft.dedup.IncrementalDedup]]): a
+  * content's representative is the min doc_id of the micro-batch that first
+  * presents it; a LOWER doc_id re-presenting registered content in a later
+  * batch keeps the original rep. Equal to the batch pipeline's global
+  * min-doc election whenever batches arrive in doc_id order (crawl
+  * snapshots are prefixes) or everything lands in one AvailableNow batch.
+  *
+  * 100-TB notes: state is linear in CONTENTS × 52 keys (the same "the index
+  * IS the state" accounting that deleted the incremental path's probe_index
+  * table); state partitions are sized to state volume, not cores
+  * (EventStream note: thousands on a real cluster, single digits for a toy
+  * drain); hot boilerplate buckets fail loudly at `maxBucket` here because
+  * this is a listing — the clustering consumer would swap step 3's emission
+  * for the bounded star form of [[MinHashLSH.boundedProbePairs]].
+  */
+object StreamNearDup {
+
+  /** One probe bucket's registered contents: parallel (ckey, rep) arrays,
+    * ckey-distinct. Arrays, not maps — the state encoder ships two packed
+    * long arrays per bucket.
+    */
+  case class BucketState(ckeys: Array[Long], reps: Array[Long])
+
+  /** Verified near-dup pairs (a, b, jac) discovered by draining the pages
+    * stream at `pagesStreamDir` (a parquet directory; new files = new crawl
+    * arrivals). `corpus` is the batch view of the same pages, used only for
+    * the verify join's shingle sets. `maxFilesPerTrigger` forces multi-batch
+    * drains (specs; production tunes it to micro-batch size).
+    */
+  def pairs(spark: SparkSession, pagesStreamDir: String, corpus: DataFrame,
+            cfg: DedupConfig = DedupConfig(maxBucket = 1 << 20),
+            statePartitions: Int = 8,
+            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val schema = graft.GraftSession.readParquet(spark, pagesStreamDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n.toString)).parquet(pagesStreamDir)
+
+    // same empty-text filter + fused one-pass feature kernel as the batch
+    // pipeline (MinHashLSH.featuresFused), plus the content key
+    val feats = stream.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), gf.contentKey64(col("text")).as("ckey"),
+        gf.featureStruct(col("text"), cfg.shingleK, cfg.numPerm, cfg.seed).as("f"))
+      .select(col("doc_id"), col("ckey"),
+        col("f.sig").as("sig"), col("f.sim64").as("sim64"))
+    // unified probe-key stream — band hashes and simhash block-combination
+    // keys share the 64-bit key space, exactly like the batch union
+    val keyRows = unifiedKeys(feats, cfg)
+      .select(col("key"), col("ckey"), col("doc_id"))
+      .as[(Long, Long, Long)]
+
+    val maxBucket = cfg.maxBucket
+    val candStream = keyRows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[BucketState]) => emitBucket(rows, state, maxBucket)
+      }
+      .toDF("p", "q")
+
+    val drained = EventStream.drain(spark, candStream,
+      s"stream_neardup_${System.nanoTime()}", statePartitions, "append")
+    val cand = drained
+      .select(least(col("p"), col("q")).as("a"),
+        greatest(col("p"), col("q")).as("b"))
+      .distinct()
+    // verify join: ids in `cand` are first-registration reps, so the full
+    // corpus feature table (superset of reps) serves as the feature store
+    MinHashLSH.verifiedPairs(
+      MinHashLSH.featuresFused(corpus, cfg), cand, cfg)
+  }
+
+  /** Band-hash ∪ simhash-block probe rows over the streaming feature frame
+    * (mirrors NearDupPipeline's keyRows union — one shuffle feeds both
+    * candidate families).
+    */
+  private def unifiedKeys(feats: DataFrame, cfg: DedupConfig): DataFrame =
+    feats.select(col("ckey"), col("doc_id"),
+        explode(gf.bands(col("sig"), cfg.bands)).as("key"))
+      .unionByName(feats.select(col("ckey"), col("doc_id"),
+        explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks,
+          cfg.simhashMaxHamming)).as("key")))
+
+  /** One bucket, one micro-batch: register unseen ckeys (rep = min doc_id in
+    * this batch), emit new×old + new×new candidate pairs. Registered ckeys
+    * arriving again (exact dups, or re-presented content) emit nothing.
+    * Deterministic: news are sorted, and pair SETS are arrival-order
+    * invariant per the frozen-rep invariant above.
+    */
+  private[graft] def emitBucket(rows: Iterator[(Long, Long, Long)],
+                                state: GroupState[BucketState],
+                                maxBucket: Int): Iterator[(Long, Long)] = {
+    val st = state.getOption.getOrElse(BucketState(Array.empty, Array.empty))
+    val known = new java.util.HashSet[java.lang.Long](st.ckeys.length * 2 + 8)
+    st.ckeys.foreach(known.add(_))
+    // min doc per UNSEEN ckey within this batch
+    val fresh = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    for ((_, ckey, doc) <- rows if !known.contains(ckey)) {
+      val cur = fresh.get(ckey)
+      if (cur == null || doc < cur) fresh.put(ckey, doc)
+    }
+    if (fresh.isEmpty) Iterator.empty
+    else {
+      val n = st.reps.length + fresh.size
+      // a listing bucket past the bound is an impossible request, not a
+      // truncation opportunity — fail the query loudly (clustering
+      // consumers use the star-capped batch kernel instead)
+      require(n <= maxBucket,
+        s"stream near-dup bucket grew to $n members (maxBucket=$maxBucket): " +
+          "a capped pair LISTING would be silently incomplete — raise " +
+          "maxBucket or use the star-capped clustering kernel")
+      import scala.jdk.CollectionConverters._
+      val newCkeys = new Array[Long](fresh.size)
+      val news = new Array[Long](fresh.size)
+      var i = 0
+      for (e <- fresh.entrySet().asScala) {
+        newCkeys(i) = e.getKey; news(i) = e.getValue; i += 1
+      }
+      java.util.Arrays.sort(news)
+      val out = Array.newBuilder[(Long, Long)]
+      i = 0
+      while (i < news.length) {
+        var j = 0
+        while (j < st.reps.length) { out += ((news(i), st.reps(j))); j += 1 }
+        j = i + 1
+        while (j < news.length) { out += ((news(i), news(j))); j += 1 }
+        i += 1
+      }
+      state.update(BucketState(st.ckeys ++ newCkeys, st.reps ++ news))
+      out.result().iterator
+    }
+  }
+}
