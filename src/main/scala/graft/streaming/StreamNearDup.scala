@@ -74,6 +74,59 @@ object StreamNearDup {
             cfg: DedupConfig = DedupConfig(maxBucket = 1 << 20),
             statePartitions: Int = 8,
             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val drained = EventStream.drain(spark,
+      candidateStream(spark, pagesStreamDir, cfg, maxFilesPerTrigger),
+      s"stream_neardup_${System.nanoTime()}", statePartitions, "append")
+    verify(spark, drained, corpus, cfg)
+  }
+
+  /** Durable form: append raw candidate (p, q) rows to a parquet file sink
+    * under a caller-owned checkpoint. Restarting with the same checkpoint
+    * RESUMES the bucket state stores, so contents registered by an earlier
+    * run never re-emit their pairs and new arrivals pair against the full
+    * accumulated membership — the streaming twin of
+    * [[graft.dedup.IncrementalDedup]]'s restart-from-store (spec-gated in
+    * StreamNearDupSpec). The file sink's commit log makes output
+    * exactly-once across restarts.
+    */
+  def drainCandidatesToDir(spark: SparkSession, pagesStreamDir: String,
+                           outDir: String, checkpointDir: String,
+                           cfg: DedupConfig = DedupConfig(maxBucket = 1 << 20),
+                           statePartitions: Int = 8,
+                           maxFilesPerTrigger: Option[Int] = None): Unit =
+    EventStream.withStatePartitions(spark, statePartitions) {
+      val q = candidateStream(spark, pagesStreamDir, cfg, maxFilesPerTrigger)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+  /** Normalize + dedup raw candidate rows across the ~52 key families, then
+    * the exact-Jaccard verify join against the batch feature table (ids in
+    * the candidates are first-registration reps, so the full corpus feature
+    * table — a superset of reps — serves as the feature store).
+    */
+  def verify(spark: SparkSession, rawCandidates: DataFrame, corpus: DataFrame,
+             cfg: DedupConfig): DataFrame = {
+    val cand = rawCandidates
+      .select(least(col("p"), col("q")).as("a"),
+        greatest(col("p"), col("q")).as("b"))
+      .distinct()
+    MinHashLSH.verifiedPairs(
+      MinHashLSH.featuresFused(corpus, cfg), cand, cfg)
+  }
+
+  /** The stateful candidate stream: features → unified probe keys →
+    * per-bucket registration + pair emission.
+    */
+  private def candidateStream(spark: SparkSession, pagesStreamDir: String,
+                              cfg: DedupConfig,
+                              maxFilesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._
     val schema = graft.GraftSession.readParquet(spark, pagesStreamDir).schema
     val reader = spark.readStream.schema(schema)
@@ -94,7 +147,7 @@ object StreamNearDup {
       .as[(Long, Long, Long)]
 
     val maxBucket = cfg.maxBucket
-    val candStream = keyRows
+    keyRows
       .groupByKey(_._1)
       .flatMapGroupsWithState[BucketState, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -102,17 +155,6 @@ object StreamNearDup {
          state: GroupState[BucketState]) => emitBucket(rows, state, maxBucket)
       }
       .toDF("p", "q")
-
-    val drained = EventStream.drain(spark, candStream,
-      s"stream_neardup_${System.nanoTime()}", statePartitions, "append")
-    val cand = drained
-      .select(least(col("p"), col("q")).as("a"),
-        greatest(col("p"), col("q")).as("b"))
-      .distinct()
-    // verify join: ids in `cand` are first-registration reps, so the full
-    // corpus feature table (superset of reps) serves as the feature store
-    MinHashLSH.verifiedPairs(
-      MinHashLSH.featuresFused(corpus, cfg), cand, cfg)
   }
 
   /** Band-hash ∪ simhash-block probe rows over the streaming feature frame

@@ -77,6 +77,59 @@ class StreamNearDupSpec extends AnyFunSuite with SparkTestBase {
         s"batch-only: ${(batch -- streamed).take(5)}")
   }
 
+  test("durable checkpoint: a restarted drain resumes bucket state, never re-emits") {
+    val docs = corpus(600).cache()
+    val stage = java.nio.file.Files.createTempDirectory("graft_snd_res")
+    val streamDir = stage.resolve("stream"); java.nio.file.Files.createDirectory(streamDir)
+    val outDir = stage.resolve("out").toString
+    val ckpt = stage.resolve("ckpt").toString
+    def addBatch(lo: Long, hi: Long, i: Int): Unit = {
+      val p = stage.resolve(s"b$i").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      for (g <- new java.io.File(p).listFiles() if g.getName.endsWith(".parquet")) {
+        val dst = streamDir.resolve(s"b$i.parquet")
+        java.nio.file.Files.copy(g.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    def sinkFiles(): Set[String] = {
+      val d = new java.io.File(outDir)
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+
+    // run 1: only the first crawl snapshot exists
+    addBatch(0, 300, 0)
+    graft.streaming.StreamNearDup.drainCandidatesToDir(
+      spark, streamDir.toString, outDir, ckpt, cfg)
+    val files1 = sinkFiles()
+    val rows1 = spark.read.parquet(files1.toSeq: _*).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows1.nonEmpty && rows1.forall { case (p, q) => p < 300 && q < 300 })
+
+    // run 2: second snapshot arrives; SAME checkpoint — bucket state must
+    // resume, so every emitted pair involves a batch-2 content (a lost
+    // state store would re-register batch-1 contents and re-emit their
+    // intra-batch pairs)
+    addBatch(300, 601, 1)
+    graft.streaming.StreamNearDup.drainCandidatesToDir(
+      spark, streamDir.toString, outDir, ckpt, cfg)
+    val files2 = sinkFiles() -- files1
+    val rows2 = spark.read.parquet(files2.toSeq: _*).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows2.nonEmpty && rows2.forall { case (p, q) => math.max(p, q) >= 300 })
+
+    // the accumulated sink, verified, equals the batch pipeline end to end
+    val all = graft.streaming.StreamNearDup.verify(
+      spark, spark.read.parquet((files1 ++ files2).toSeq: _*).toDF("p", "q"),
+      docs, cfg)
+    val pipe = graft.dedup.NearDupPipeline.run(spark, docs, cfg)
+    val batch = try pairSet(pipe.pairs) finally pipe.close()
+    docs.unpersist()
+    assert(pairSet(all) == batch)
+  }
+
   test("emitBucket: exact dups register once, new×old and new×new pairs, frozen rep") {
     def state(st: Option[graft.streaming.StreamNearDup.BucketState]) =
       org.apache.spark.sql.graftx.TestGroupState.forStreaming(st)
