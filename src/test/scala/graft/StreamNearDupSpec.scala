@@ -130,6 +130,51 @@ class StreamNearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairSet(all) == batch)
   }
 
+  test("emitBucket property: random batched arrival == frozen-rep reference (200 trials)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val nRows = 1 + rnd.nextInt(60)
+      // small id spaces force collisions: repeated ckeys (exact dups),
+      // repeated keys (shared buckets), doc ties broken by min
+      val rows = Array.fill(nRows)(
+        (rnd.nextInt(5).toLong, rnd.nextInt(12).toLong, rnd.nextInt(100).toLong))
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = rows.grouped(math.max(1, (nRows + nBatches - 1) / nBatches)).toSeq
+
+      // reference: replay the frozen-rep rule per key across batches
+      val reg = scala.collection.mutable.Map.empty[Long, // key
+        scala.collection.mutable.LinkedHashMap[Long, Long]] // ckey -> rep
+      val expected = scala.collection.mutable.Set.empty[(Long, Long)]
+      for (batch <- batches; (key, group) <- batch.groupBy(_._1)) {
+        val st = reg.getOrElseUpdate(key,
+          scala.collection.mutable.LinkedHashMap.empty)
+        val fresh = group.filter(r => !st.contains(r._2))
+          .groupBy(_._2).map { case (ck, rs) => ck -> rs.map(_._3).min }
+        val news = fresh.values.toArray.sorted
+        for (i <- news.indices) {
+          for (o <- st.values) expected += ((math.min(news(i), o), math.max(news(i), o)))
+          for (j <- i + 1 until news.length)
+            expected += ((math.min(news(i), news(j)), math.max(news(i), news(j))))
+        }
+        st ++= fresh
+      }
+
+      // operator: same batches through emitBucket with persistent state
+      val states = scala.collection.mutable.Map
+        .empty[Long, graft.streaming.StreamNearDup.BucketState]
+      val got = scala.collection.mutable.Set.empty[(Long, Long)]
+      for (batch <- batches; (key, group) <- batch.groupBy(_._1)) {
+        val gs = org.apache.spark.sql.graftx.TestGroupState.forStreaming(states.get(key))
+        got ++= graft.streaming.StreamNearDup
+          .emitBucket(group.iterator, gs, 1 << 20)
+          .map { case (p, q) => (math.min(p, q), math.max(p, q)) }
+        if (gs.exists) states(key) = gs.get
+      }
+      assert(got == expected,
+        s"got-only: ${(got -- expected).take(5)}; exp-only: ${(expected -- got).take(5)}")
+    }
+  }
+
   test("emitBucket: exact dups register once, new×old and new×new pairs, frozen rep") {
     def state(st: Option[graft.streaming.StreamNearDup.BucketState]) =
       org.apache.spark.sql.graftx.TestGroupState.forStreaming(st)
