@@ -39,6 +39,23 @@ object StreamNearDupProbe {
       f"batch ${batchSec}%.2f s ($batchPairs pairs, ${nDocs / batchSec}%.0f docs/s) " +
       f"stream ${streamSec}%.2f s ($streamPairs pairs, ${nDocs / streamSec}%.0f docs/s) " +
       f"ratio ${streamSec / batchSec}%.2f")
+
+    // state growth: bucket state must be LINEAR in registered contents
+    // (the 100-TB design property — state = the index, ~52 keys/content).
+    // Drain half and full corpus through the durable sink and report the
+    // state store's own accounting.
+    for (frac <- Seq(2, 1)) {
+      val n = nDocs / frac
+      val sub = s"$dir/sub$frac"
+      corpus.filter(col("doc_id") < n).write.mode("overwrite").parquet(s"$sub/pages")
+      val q = graft.streaming.StreamNearDup.drainCandidatesToDir(
+        spark, s"$sub/pages", s"$sub/out", s"$sub/ckpt", cfg, stateParts)
+      val st = q.recentProgress.flatMap(_.stateOperators)
+      val keys = st.map(_.numRowsTotal).sum
+      val mem = st.map(_.memoryUsedBytes).sum
+      println(f"[sndprobe] state docs=$n keys=$keys memMB=${mem / 1e6}%.1f " +
+        f"bytesPerDoc=${mem.toDouble / n}%.0f")
+    }
     GraftSession.dropScratch(dir)
     spark.stop()
   }

@@ -93,7 +93,8 @@ object StreamNearDup {
                            outDir: String, checkpointDir: String,
                            cfg: DedupConfig = DedupConfig(maxBucket = 1 << 20),
                            statePartitions: Int = 8,
-                           maxFilesPerTrigger: Option[Int] = None): Unit =
+                           maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     EventStream.withStatePartitions(spark, statePartitions) {
       val q = candidateStream(spark, pagesStreamDir, cfg, maxFilesPerTrigger)
         .writeStream
@@ -104,6 +105,7 @@ object StreamNearDup {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q // stopped; recentProgress still carries state-operator metrics
     }
 
   /** Normalize + dedup raw candidate rows across the ~52 key families, then
