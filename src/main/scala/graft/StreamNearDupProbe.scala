@@ -43,18 +43,32 @@ object StreamNearDupProbe {
     // state growth: bucket state must be LINEAR in registered contents
     // (the 100-TB design property — state = the index, ~52 keys/content).
     // Drain half and full corpus through the durable sink and report the
-    // state store's own accounting.
-    for (frac <- Seq(2, 1)) {
-      val n = nDocs / frac
-      val sub = s"$dir/sub$frac"
-      corpus.filter(col("doc_id") < n).write.mode("overwrite").parquet(s"$sub/pages")
-      val q = graft.streaming.StreamNearDup.drainCandidatesToDir(
-        spark, s"$sub/pages", s"$sub/out", s"$sub/ckpt", cfg, stateParts)
-      val st = q.recentProgress.flatMap(_.stateOperators)
-      val keys = st.map(_.numRowsTotal).sum
-      val mem = st.map(_.memoryUsedBytes).sum
-      println(f"[sndprobe] state docs=$n keys=$keys memMB=${mem / 1e6}%.1f " +
-        f"bytesPerDoc=${mem.toDouble / n}%.0f")
+    // state store's own accounting, under both providers: HDFS-backed
+    // (toy default: whole state as a JVM map) and RocksDB (the 100-TB
+    // choice: off-heap, incremental snapshots, state ≫ memory).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for (provider <- Seq(None, Some(rocks)); frac <- Seq(2, 1)) {
+      val old = spark.conf.getOption(providerKey)
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        val n = nDocs / frac
+        val tag = provider.fold("hdfs")(_ => "rocksdb")
+        val sub = s"$dir/sub_${tag}_$frac"
+        corpus.filter(col("doc_id") < n).write.mode("overwrite").parquet(s"$sub/pages")
+        val t = System.nanoTime()
+        val q = graft.streaming.StreamNearDup.drainCandidatesToDir(
+          spark, s"$sub/pages", s"$sub/out", s"$sub/ckpt", cfg, stateParts)
+        val sec = (System.nanoTime() - t) / 1e9
+        val st = q.recentProgress.flatMap(_.stateOperators)
+        val keys = st.map(_.numRowsTotal).sum
+        val mem = st.map(_.memoryUsedBytes).sum
+        println(f"[sndprobe] state provider=$tag docs=$n keys=$keys " +
+          f"memMB=${mem / 1e6}%.1f bytesPerDoc=${mem.toDouble / n}%.0f " +
+          f"drain ${sec}%.2f s")
+      } finally {
+        old.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      }
     }
     GraftSession.dropScratch(dir)
     spark.stop()
