@@ -188,8 +188,21 @@ object SparkEntry {
     exactTopKFrame(s, dir); lshTopKFrame(s, dir); ivfTopKFrame(s, dir)
     winnowFpsFrame(s, dir); simhashFpsFrame(s, dir); mmFeaturesFrame(s, dir)
     distinctShingleEstFrame(s, dir); saRepeatsFrame(s, dir)
+    streamNearDupPairsFrame(s, dir)
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** One streaming near-dup drain per session — `pages_stream_neardup_pairs`
+    * returns it and `pages_stream_neardup_clusters` clusters over it.
+    * Verified pair rows are ~10³ at bench scale — memoFrame-sized.
+    */
+  private def streamNearDupPairsFrame(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "stream_neardup_pairs") {
+      graft.streaming.StreamNearDup.pairs(s, oraclePagesPath(dir),
+          pagesCorpus(s, dir).select("doc_id", "text"),
+          graft.dedup.DedupConfig(maxBucket = 1 << 20))
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+    }
 
   /** Group-scoped suffix-array repeats, built once per session — shared by
     * `pages_sa_repeats` and the sa_winnow gate's SA side (which is a pure
@@ -732,13 +745,26 @@ object SparkEntry {
     // drained with AvailableNow, then exact-Jaccard verified against the
     // batch feature table. Same contract and oracle as pages_neardup_pairs:
     // ALL rep pairs with J ≥ τ. Parity with the batch pipeline (incl.
-    // multi-batch arrival) is spec-gated in StreamNearDupSpec.
-    "pages_stream_neardup_pairs" -> ((s, dir) => {
+    // multi-batch arrival + checkpoint restart) is spec-gated in
+    // StreamNearDupSpec. One drain per session (memoFrame) — the clusters
+    // consumer below reads the same verified pair set.
+    "pages_stream_neardup_pairs" -> ((s, dir) => streamNearDupPairsFrame(s, dir)),
+
+    // Clusters over the STREAM-discovered pairs: connected components of
+    // exact-dup edges ∪ the drained near-dup pairs — the batch consumer a
+    // production deployment runs after each drain of the durable candidate
+    // sink (discovery is streaming-stateful; cluster assembly is a batch
+    // job over committed output, exactly like IncrementalDedup's
+    // content_clusters derivation). Oracle: identical to
+    // pages_neardup_clusters (the stream pair set equals the batch set).
+    "pages_stream_neardup_clusters" -> ((s, dir) => {
       val corpus = pagesCorpus(s, dir)
-      graft.streaming.StreamNearDup.pairs(s, oraclePagesPath(dir),
-          corpus.select("doc_id", "text"),
-          graft.dedup.DedupConfig(maxBucket = 1 << 20))
-        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      val exactEdges = graft.dedup.ExactDedup.edges(
+        graft.dedup.ExactDedup.assignments(corpus))
+      graft.dedup.ConnectedComponents.assignAll(s,
+        corpus.select(col("doc_id").as("id")),
+        exactEdges.select("a", "b")
+          .union(streamNearDupPairsFrame(s, dir).select("a", "b")))
     }),
 
     // Embedding-cosine near-dup pairs. At oracle scale (≤1000 vectors) this
@@ -1224,28 +1250,34 @@ object SparkEntry {
        |SELECT a, b, round(isz * 1.0 / (la + lb - isz), 6) AS jac
        |FROM (${nearPairsSql()})""".stripMargin
 
+  /** Shared by pages_neardup_clusters and its streaming twin: CC over
+    * exact-dup edges ∪ near-dup pairs, cluster = min reachable doc_id.
+    */
+  private lazy val nearDupClustersOracle: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $pagesGlob),
+       |a0 AS (SELECT doc_id, toks,
+       |         min(doc_id) OVER (PARTITION BY array_to_string(toks, ' ')) AS rep FROM p),
+       |sh AS (SELECT doc_id AS id, $shingleSql AS s FROM a0
+       |       WHERE doc_id = rep AND len(toks) > 0),
+       |near AS (SELECT a, b FROM (${nearPairsSql()})),
+       |e0 AS (SELECT rep AS a, doc_id AS b FROM a0 WHERE doc_id <> rep
+       |       UNION ALL SELECT a, b FROM near),
+       |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM p
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+       |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "pages_exact_dedup" ->
       s"""WITH p AS (SELECT doc_id, ${ntSql("text")} AS nt FROM $pagesGlob)
          |SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS rep FROM p""".stripMargin,
     "pages_neardup_pairs" -> nearDupPairsOracle,
     "pages_stream_neardup_pairs" -> nearDupPairsOracle,
-    "pages_neardup_clusters" ->
-      s"""WITH RECURSIVE
-         |p AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $pagesGlob),
-         |a0 AS (SELECT doc_id, toks,
-         |         min(doc_id) OVER (PARTITION BY array_to_string(toks, ' ')) AS rep FROM p),
-         |sh AS (SELECT doc_id AS id, $shingleSql AS s FROM a0
-         |       WHERE doc_id = rep AND len(toks) > 0),
-         |near AS (SELECT a, b FROM (${nearPairsSql()})),
-         |e0 AS (SELECT rep AS a, doc_id AS b FROM a0 WHERE doc_id <> rep
-         |       UNION ALL SELECT a, b FROM near),
-         |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM p
-         |  UNION
-         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
-         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "pages_neardup_clusters" -> nearDupClustersOracle,
+    "pages_stream_neardup_clusters" -> nearDupClustersOracle,
     // pure-SQL replay of the tree leaf labeling (chunk size 1, two steps):
     // FIXED = same char at same position vs step0; SHIFT = char seen in step0
     // (the checkpoint-0 distinct map holds every distinct step0 char) or a
