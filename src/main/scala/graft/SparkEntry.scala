@@ -185,11 +185,70 @@ object SparkEntry {
     */
   def prepareSessionFrames(s: SparkSession, dir: String): Double = {
     val t0 = System.nanoTime()
-    exactTopKFrame(s, dir); lshTopKFrame(s, dir); ivfTopKFrame(s, dir)
-    winnowFpsFrame(s, dir); simhashFpsFrame(s, dir); mmFeaturesFrame(s, dir)
-    distinctShingleEstFrame(s, dir); saRepeatsFrame(s, dir)
-    streamNearDupPairsFrame(s, dir)
+    prepareSessionFramesConcurrent(s, dir)
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Concurrent prep (r7, guide §2.6 "overlap independent jobs"): the nine
+    * session-shared builds are mutually independent and each is
+    * stage-latency-bound at bench scale — local[32] sits idle-wide during
+    * any one of them — so they run from a small driver thread pool and the
+    * scheduler back-fills executors across their stage tails. FIFO
+    * scheduling is exactly the back-fill behavior wanted; job descriptions
+    * are thread-local so the UI stays attributable. The shared corpus dump
+    * and the first-touch testdata table reads (schema-inference jobs) are
+    * primed FIRST so no build (and no later sweep query) pays them — the
+    * lang_id 0.2 → 4.8 s first-touch artifact in the r6 driver window.
+    * Memo safety: each build writes a DISTINCT memoFrame tag, and the memo
+    * map is a TrieMap — no same-key race exists in this call graph.
+    */
+  private def prepareSessionFramesConcurrent(s: SparkSession, dir: String): Unit = {
+    pagesCorpus(s, dir) // the dump every build reads — create once, serial
+    docs(s, dir); emb(s, dir); lineitem(s, dir) // prime schema inference
+    Seq("customer", "orders", "events").foreach(GraftSession.table(s, dir, _))
+    val builds = prepBuilds(s, dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = builds.map { case (name, build) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            s.sparkContext.setJobDescription(s"session_prep: $name")
+            try build() finally s.sparkContext.setJobDescription(null)
+          }
+        })
+      }
+      futs.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
+  }
+
+  /** The individual prep builds, named (dev decomposition — PrepProbe).
+    * LONGEST-FIRST (probe-measured at sf0.1): the concurrent pool's critical
+    * path is the slowest build, so the heavy ones must enter the pool in the
+    * first wave, not after the small ones drain.
+    */
+  private def prepBuilds(s: SparkSession, dir: String)
+    : Seq[(String, () => Any)] = Seq(
+    "stream_neardup_pairs" -> (() => streamNearDupPairsFrame(s, dir)),
+    "sa_repeats" -> (() => saRepeatsFrame(s, dir)),
+    "lsh_topk" -> (() => lshTopKFrame(s, dir)),
+    "ivf_topk" -> (() => ivfTopKFrame(s, dir)),
+    "exact_topk" -> (() => exactTopKFrame(s, dir)),
+    "winnow_fps" -> (() => winnowFpsFrame(s, dir)),
+    "simhash_fps" -> (() => simhashFpsFrame(s, dir)),
+    "mm_feats" -> (() => mmFeaturesFrame(s, dir)),
+    "distinct_shingle_est" -> (() => distinctShingleEstFrame(s, dir)))
+
+  /** prepareSessionFrames with per-build wall seconds (PrepProbe). */
+  def prepareSessionFramesTimed(s: SparkSession, dir: String)
+    : Seq[(String, Double)] = {
+    val tc0 = System.nanoTime()
+    pagesCorpus(s, dir) // shared input dump — charged separately
+    val corpusSec = (System.nanoTime() - tc0) / 1e9
+    ("corpus_dump" -> corpusSec) +: prepBuilds(s, dir).map { case (name, build) =>
+      val t0 = System.nanoTime()
+      build()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
   }
 
   /** One streaming near-dup drain per session — `pages_stream_neardup_pairs`

@@ -251,10 +251,17 @@ object LongRepeats {
     // anchor could suppress a real anchor behind it — a 64-bit collision
     // between two specific nearby grams, the same risk class as the ckey
     // content key used for exact dedup; accepted corpus-wide.)
+    // r7 exchange fusion: hash-repartition by (a, b) ONCE — HashPartitioning
+    // on (a, b) satisfies the window's ClusteredDistribution(a, b, diag) (a
+    // subset of the clustering keys) AND the per-pair aggregation's
+    // ClusteredDistribution(a, b), so the lag window and the anchor groupBy
+    // run on one exchange instead of two (the r5 form exchanged candidates
+    // on (a, b, diag) and the collapsed heads again on (a, b)).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
     val heads = candidates
       .withColumn("diag", col("pa") - col("pb"))
+      .repartition(col("a"), col("b"))
       .withColumn("prev_pa", lag(col("pa"), 1).over(w))
       .filter(col("prev_pa").isNull || col("pa") - col("prev_pa") >= gram)
       .select(col("a"), col("b"), col("pa"), col("pb"))

@@ -89,10 +89,23 @@ object MinHashLSH {
     // (key,e)-keyed exchange of the full probe stream) and duplicate star
     // edges (callers dedup pairs); it can never produce self-pairs —
     // smallPairs aggregates a SET and the hot path filters e =!= mn.
-    val stats = keyRows.groupBy(k: _*)
-      .agg(min(col("e")).as("mn"), count(lit(1)).as("cnt"))
+    //
+    // r7 (guide §2.4): per-key stats come from WINDOW aggregates over ONE
+    // exchange of the probe stream, not a stats aggregation joined back —
+    // the r6 form exchanged the full stream twice (once into the partial
+    // agg, once for the join probe side) and scanned the feature subtree
+    // twice to feed them. The window's hash partitioning on the key also
+    // feeds smallPairs' groupBy exchange-free, so the whole kernel costs
+    // exactly one full-stream shuffle. Flood bound: WindowExec buffers one
+    // KEY GROUP at a time in a spillable row array (heap use capped by the
+    // spill threshold, a 10⁸-row boilerplate key costs sequential disk,
+    // never executor memory) — the hot path stays one-row-in/≤one-out after
+    // it, and collect_set still only runs behind the cnt ≤ maxBucket filter.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(k: _*)
+    val joined = keyRows
+      .withColumn("mn", min(col("e")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
       .filter(col("cnt") > 1)
-    val joined = keyRows.join(stats, keyCols)
     val hotPairs = joined.filter(col("cnt") > maxBucket && col("e") =!= col("mn"))
       .select(col("mn").as("p"), col("e").as("q"))
     val smallPairsExpr =
@@ -144,15 +157,19 @@ object MinHashLSH {
     // kernel reads and shuffles it exactly once per snapshot).
     val tagged = oldRows.select(k :+ col("e") :+ lit(false).as("is_new"): _*)
       .unionByName(newRows.select(k :+ col("e") :+ lit(true).as("is_new"): _*))
-    val stats = tagged.groupBy(k: _*)
-      .agg(count(lit(1)).as("cnt"),
-        sum(when(col("is_new"), 1L).otherwise(0L)).as("cnt_new"),
-        min(when(!col("is_new"), col("e"))).as("mn_old"),
-        min(when(col("is_new"), col("e"))).as("mn_new"))
-      // keys with no new arrival emit nothing (their old pairs surfaced
-      // when the newer member registered); singleton keys have no pair
+    // r7: per-key stats as WINDOW aggregates over the one tagged exchange
+    // (see boundedBucketPairs) — the stats-agg + join-back form paid a
+    // second full exchange of the tagged stream and a second scan of the
+    // index subtrees. Keys with no new arrival emit nothing (their old
+    // pairs surfaced when the newer member registered); singleton keys
+    // have no pair.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(k: _*)
+    val joined = tagged
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("cnt_new", sum(when(col("is_new"), 1L).otherwise(0L)).over(w))
+      .withColumn("mn_old", min(when(!col("is_new"), col("e"))).over(w))
+      .withColumn("mn_new", min(when(col("is_new"), col("e"))).over(w))
       .filter(col("cnt_new") > 0 && col("cnt") > 1)
-    val joined = tagged.join(stats, keyCols)
     // hot keys: star edges (anchor, e_new) streamed one-in/≤one-out, anchor
     // = min OLD element when any exists (a hot bucket's new minimum still
     // links into the component its old members already form), else min new
