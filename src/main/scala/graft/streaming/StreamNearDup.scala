@@ -119,8 +119,15 @@ object StreamNearDup {
       .select(least(col("p"), col("q")).as("a"),
         greatest(col("p"), col("q")).as("b"))
       .distinct()
-    MinHashLSH.verifiedPairs(
-      MinHashLSH.featuresFused(corpus, cfg), cand, cfg)
+    // r7: persist the feature table for the verify join — verifiedPairs
+    // reads it once per pair SIDE, and unlike the batch pipeline (where
+    // feats is persisted for the session) an unpersisted plan here ran the
+    // full tokenization pass twice. Eager-output pattern: materialize the
+    // verified pairs, then release the scan.
+    val feats = MinHashLSH.featuresFused(corpus, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try MinHashLSH.verifiedPairs(feats, cand, cfg).localCheckpoint(true)
+    finally feats.unpersist()
   }
 
   /** The stateful candidate stream: features → unified probe keys →
@@ -161,14 +168,18 @@ object StreamNearDup {
 
   /** Band-hash ∪ simhash-block probe rows over the streaming feature frame
     * (mirrors NearDupPipeline's keyRows union — one shuffle feeds both
-    * candidate families).
+    * candidate families). r7: ONE explode over the concatenated key arrays —
+    * the unionByName form planned two scans of the streaming source, so the
+    * featureStruct tokenization ran twice per arriving doc (the batch
+    * pipeline's union reads a persisted feature table, where a double scan
+    * is a cache hit; a stream source has no such cache). Row multiset is
+    * identical: bands ++ simhashKeys per doc, exploded.
     */
   private def unifiedKeys(feats: DataFrame, cfg: DedupConfig): DataFrame =
     feats.select(col("ckey"), col("doc_id"),
-        explode(gf.bands(col("sig"), cfg.bands)).as("key"))
-      .unionByName(feats.select(col("ckey"), col("doc_id"),
-        explode(gf.simhashKeys(col("sim64"), cfg.simhashBlocks,
-          cfg.simhashMaxHamming)).as("key")))
+      explode(concat(gf.bands(col("sig"), cfg.bands),
+        gf.simhashKeys(col("sim64"), cfg.simhashBlocks,
+          cfg.simhashMaxHamming))).as("key"))
 
   /** One bucket, one micro-batch: register unseen ckeys (rep = min doc_id in
     * this batch), emit new×old + new×new candidate pairs. Registered ckeys
