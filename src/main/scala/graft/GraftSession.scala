@@ -116,4 +116,12 @@ object GraftSession {
     */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     tableCache.getOrElseUpdate((spark, path), spark.read.parquet(path))
+
+  /** Evict a session's memoized table reads (ADVICE r6: the memo is
+    * never otherwise evicted, so a long-lived service session accumulates
+    * stopped sessions' analyzed plans for process lifetime). Called from
+    * SparkEntry.releaseSessionCaches.
+    */
+  def releaseTables(spark: SparkSession): Unit =
+    tableCache.keySet.filter(_._1 eq spark).foreach(tableCache.remove)
 }

@@ -291,6 +291,7 @@ object SparkEntry {
     pipelineCache.keySet.filter(_._1 eq s).foreach(k =>
       pipelineCache.remove(k).foreach(_._1.close()))
     frameCache.keySet.filter(_._1 eq s).foreach(frameCache.remove)
+    GraftSession.releaseTables(s)
   }
 
   /** Multimodal decode-features frame shared by `mm_decode_features` and

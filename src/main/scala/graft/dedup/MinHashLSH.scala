@@ -261,15 +261,17 @@ object MinHashLSH {
     * kernel's output).
     */
   def normalizedDistinctPairsLocal(raw: Array[(Long, Long)]): Array[(Long, Long)] = {
-    val seen = new java.util.HashSet[java.lang.Long](raw.length * 2)
+    // exact pair-set dedup (ADVICE r6): the r6 form deduped on the packed
+    // key rotl(a,32)^b, which two DISTINCT normalized pairs can collide on
+    // without any ckey collision (rotl(a^a',32) == b^b' needs no shared
+    // halves) — silently dropping a candidate edge where the distributed
+    // path's distinct() is exact. The tuple set is exact and the caller is
+    // bounded (driver-local small regime).
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
     val out = Array.newBuilder[(Long, Long)]
     for ((p, q) <- raw if p != q) {
       val a = math.min(p, q); val b = math.max(p, q)
-      // ckeys are fmix64-mixed 64-bit hashes — (a rotl 32) ^ b collides only
-      // if two distinct normalized pairs share both halves, i.e. a genuine
-      // 64-bit collision among ckeys, which the registry already excludes
-      val packed = java.lang.Long.rotateLeft(a, 32) ^ b
-      if (seen.add(packed)) out += ((a, b))
+      if (seen.add((a, b))) out += ((a, b))
     }
     out.result()
   }

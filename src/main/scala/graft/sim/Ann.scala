@@ -303,8 +303,14 @@ object Ann {
         Seq("table", "bucket"), maxBucket)
       .select(col("p").as("a"), col("q").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    // directed candidates, exact cosine re-rank
-    val directedAll = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+    // directed candidates, exact cosine re-rank. r7: one explode emits both
+    // orientations — the union form re-executed the whole candidate subtree
+    // (kernel + distinct final agg) once per branch.
+    val directedAll = cand
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
     val directed =
       if (queryIds.isEmpty) directedAll
       else directedAll.filter(col("a").isInCollection(queryIds))

@@ -74,6 +74,14 @@ object StreamNearDup {
             cfg: DedupConfig = DedupConfig(maxBucket = 1 << 20),
             statePartitions: Int = 8,
             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // IN-ORDER ASSUMPTION (ADVICE r6): the frozen-rep invariant equals the
+    // batch pipeline's global min-doc election only when micro-batches
+    // arrive in doc_id order (crawl snapshots are prefixes) or in one
+    // AvailableNow batch — a later batch presenting a LOWER doc_id for
+    // registered content keeps the stale rep and the verified listing
+    // diverges from the shared pages_neardup_pairs oracle. The bench path
+    // drains the immutable corpus dump in one batch; a multi-file source
+    // split out of order is outside this operator's oracle contract.
     val drained = EventStream.drain(spark,
       candidateStream(spark, pagesStreamDir, cfg, maxFilesPerTrigger),
       s"stream_neardup_${System.nanoTime()}", statePartitions, "append")
@@ -137,7 +145,11 @@ object StreamNearDup {
                               cfg: DedupConfig,
                               maxFilesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._
-    val schema = graft.GraftSession.readParquet(spark, pagesStreamDir).schema
+    // non-memoized read (ADVICE r6): a stream input dir's CONTENTS change
+    // within a session (new files = new arrivals), which violates the
+    // immutable-path contract of GraftSession's memo; only the schema is
+    // consumed, so one un-memoized inference per drain is the honest cost.
+    val schema = spark.read.parquet(pagesStreamDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n.toString)).parquet(pagesStreamDir)
@@ -210,15 +222,17 @@ object StreamNearDup {
           "a capped pair LISTING would be silently incomplete — raise " +
           "maxBucket or use the star-capped clustering kernel")
       import scala.jdk.CollectionConverters._
-      val newCkeys = new Array[Long](fresh.size)
-      val news = new Array[Long](fresh.size)
-      var i = 0
-      for (e <- fresh.entrySet().asScala) {
-        newCkeys(i) = e.getKey; news(i) = e.getValue; i += 1
-      }
-      java.util.Arrays.sort(news)
+      // sort the (ckey, rep) ENTRIES together by rep (ADVICE r6): filling
+      // newCkeys in HashMap iteration order while sorting news separately
+      // misaligned the documented parallel arrays after the first batch —
+      // harmless to today's consumers (ckeys = membership set, reps = value
+      // list) but a latent bug for any consumer relying on the alignment.
+      val entries = fresh.entrySet().asScala.toArray
+        .sortBy(_.getValue.longValue)
+      val newCkeys = entries.map(_.getKey.longValue)
+      val news = entries.map(_.getValue.longValue)
       val out = Array.newBuilder[(Long, Long)]
-      i = 0
+      var i = 0
       while (i < news.length) {
         var j = 0
         while (j < st.reps.length) { out += ((news(i), st.reps(j))); j += 1 }
