@@ -294,8 +294,16 @@ object LongRepeats {
                 * shares the one corpus pass across repeat/decontaminate
                 * consumers). */
               precomputedFps: Option[DataFrame] = None): DataFrame = {
-    val n = norm(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r7: persist the normalized corpus ONLY when this call computes the
+    // fingerprint pass from it (two heavy consumers: winnow + the extend
+    // joins). With precomputed fingerprints the norm frame feeds only the
+    // two pruned text joins in verifyAndExtend — two cheap columnar scans,
+    // not worth a ~50 MB materialization + count job per call.
+    val nRaw = norm(docs, idCol, textCol)
+    val n =
+      if (precomputedFps.isEmpty)
+        nRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else nRaw
     val minLen = gram + window - 1
     val cand = winnowCandidatesFromFps(
       precomputedFps.getOrElse(winnowFingerprints(n, gram, window)), maxBucket)
@@ -304,7 +312,7 @@ object LongRepeats {
     // accumulate one pinned corpus per repeat pass and degrade under memory
     // pressure — the round-3 driver-bench outlier)
     try verifyAndExtend(n, cand, gram, minLen).localCheckpoint(true)
-    finally n.unpersist()
+    finally if (precomputedFps.isEmpty) n.unpersist()
   }
 
   /** Full suffix-array pass over the current partitioning (gram anchors the
