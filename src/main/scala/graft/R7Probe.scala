@@ -29,7 +29,7 @@ object R7Probe {
 
     val cfg = graft.dedup.DedupConfig(maxBucket = 1 << 20)
     // stream drain alone (memory sink appended — the real query's sink)
-    for (sp <- Seq(8, 32, 8, 32)) {
+    for (sp <- Seq(8, 16, 32, 8, 16, 32, 8, 16, 32)) {
       val drained = t(s"stream_drain_sp$sp") {
         graft.streaming.StreamNearDup.pairs(spark, corpusPath, corpus, cfg,
           statePartitions = sp)
